@@ -1,0 +1,116 @@
+"""Crawl-order + URL-seen-set parity: engine vs sequential oracle
+(BASELINE.json metric; FIXTURES.md §6). Also: bloom on/off equivalence,
+salted top-k equivalence, checkpoint/resume equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from warchaeology_spark.frontier.oracle import simulate_crawl
+from warchaeology_spark.frontier.scheduler import CrawlConfig, run_crawl
+
+
+def _load_inputs(spark, fixture_dir):
+    docs = spark.read.parquet(f"{fixture_dir}/documents_spans.parquet")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+    pol = spark.read.parquet(f"{fixture_dir}/politeness.parquet")
+    return docs, seeds, robots, pol
+
+
+def _rows(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def oracle_result(spark, fixture_dir):
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    return simulate_crawl(
+        _rows(docs), _rows(seeds), _rows(robots), _rows(pol), max_rounds=5
+    )
+
+
+def _fetch_tuples(fetch_log_df):
+    return [
+        (r["round"], r["seq"], r["url_canon"], r["surt"], r["url_hash"],
+         r["host"], r["depth"], r["src_doc_id"])
+        for r in fetch_log_df.orderBy("seq").collect()
+    ]
+
+
+def _oracle_tuples(oracle_result):
+    return [
+        (e["round"], e["seq"], e["url_canon"], e["surt"], e["url_hash"],
+         e["host"], e["depth"], e["src_doc_id"])
+        for e in oracle_result.fetch_log
+    ]
+
+
+def test_crawl_order_and_seen_parity(spark, fixture_dir, oracle_result):
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, use_bloom=True, num_partitions=4,
+                    expected_total=20_000),
+    )
+    assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
+
+    engine_seen = {
+        (r["surt"], r["url_hash"], r["url_canon"]) for r in res.seen.collect()
+    }
+    oracle_seen = {
+        (surt, h, canon) for surt, (h, canon) in oracle_result.seen.items()
+    }
+    assert engine_seen == oracle_seen
+
+    # per-round metrics agree too
+    assert res.metrics == oracle_result.metrics
+
+
+def test_bloom_off_equivalence(spark, fixture_dir, oracle_result):
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, use_bloom=False),
+    )
+    assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
+
+
+def test_salting_does_not_change_semantics(spark, fixture_dir, oracle_result):
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=3, use_bloom=False, n_salts=1),
+    )
+    res_salted = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=3, use_bloom=False, n_salts=16),
+    )
+    assert _fetch_tuples(res.fetch_log) == _fetch_tuples(res_salted.fetch_log)
+
+
+def test_checkpoint_resume(spark, fixture_dir, oracle_result, tmp_path):
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap")
+    # run 2 rounds with checkpointing, then "crash" and resume to 5
+    run_crawl(spark, docs, seeds, robots, pol,
+              CrawlConfig(max_rounds=2, store_root=root))
+    resumed = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, store_root=root, resume=True),
+    )
+    assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
+    engine_seen = {r["surt"] for r in resumed.seen.collect()}
+    assert engine_seen == set(oracle_result.seen)
+
+
+def test_robots_gating_effective(spark, fixture_dir, oracle_result):
+    # fixture guarantees one fully-disallowed host; it must never be fetched
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    denied_hosts = {
+        r["host"] for r in robots.filter(F.col("path_pref") == "/").collect()
+    }
+    assert denied_hosts
+    fetched_hosts = {e["host"] for e in oracle_result.fetch_log}
+    assert not (denied_hosts & fetched_hosts)

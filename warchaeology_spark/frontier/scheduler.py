@@ -1,0 +1,243 @@
+"""The crawl-frontier round scheduler (north rule; SURVEY §7 M5-M6).
+
+Iterative batch rounds over snapshot state (not Structured Streaming): at
+10^10-URL scale the seen/pending state must live in partitioned tables,
+not in a streaming state store. Each round is one declarative DataFrame
+plan; Catalyst/AQE pick physical strategies, and the only Python on the
+data path is the vectorized bloom test (seen.py).
+
+Round dataflow::
+
+    pending ──politeness_topk (salted per-host top-k)──> scheduled(round r)
+    scheduled ──anti-join──> pending'
+    scheduled ⋈ documents(url) ──extract_outlinks──> raw links
+    links ──canonicalize (JVM) ── surt/url_hash ──> candidates
+    candidates ──first-wins min_by (shuffle on surt)──> discovered
+    discovered ──SeenState.novel (bloom + exact anti-join)──> novel
+    novel ──robots_gate──> allowed | denied
+    seen += novel;  pending' += allowed(depth+1)
+    commit snapshot {pending, seen, bloom, fetch_log_r, metrics_r}
+
+Determinism contract (= the reference's --deterministic semantics,
+/root/reference/cmd/dedup/dedup.go:143-147, generalized to stay parallel):
+every order-sensitive step keys on the total order (depth, url_canon),
+and same-round duplicate discoveries resolve by
+min(src_depth, src_url, span_offset, link_idx). The sequential oracle
+(frontier/oracle.py) implements the identical contract; parity tests
+assert exact crawl-order and seen-set equality.
+
+Scale notes (100 TB / 1000-executor design points):
+- the documents ⋈ scheduled join: scheduled is the small side (budget x
+  hosts per round) -> broadcast; documents stays put. On a real cluster
+  documents is Iceberg-bucketed by xxhash64(url) so even a huge scheduled
+  side co-locates.
+- seen anti-join: hash-partitioned on url_hash; the bloom pre-filter
+  removes the already-seen majority before the shuffle.
+- heavy-host skew: salted two-phase top-k (politeness.py) + AQE.
+- lineage: every round ends in a parquet-backed snapshot (checkpoint.py),
+  so plan depth is O(1) in rounds and a kill resumes from the last commit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warchaeology_spark.frontier.checkpoint import SnapshotStore
+from warchaeology_spark.frontier.links import extract_outlinks
+from warchaeology_spark.frontier.politeness import politeness_topk, robots_gate
+from warchaeology_spark.frontier.seen import SeenState
+from warchaeology_spark.functions.urls import canonicalize_url, surt_key
+from warchaeology_spark.plans.ranks import global_sequence
+
+PENDING_COLS = ["surt", "url_canon", "url_hash", "host", "depth", "src_doc_id"]
+
+
+@dataclass
+class CrawlConfig:
+    max_rounds: int = 10
+    default_budget: int = 2
+    n_salts: int = 8
+    use_bloom: bool = True
+    num_partitions: int = 8
+    expected_total: int = 100_000
+    store_root: str | None = None  # enables checkpoint/resume
+    resume: bool = False
+
+
+@dataclass
+class CrawlResult:
+    fetch_log: DataFrame  # (round, seq, url_canon, surt, url_hash, host, depth, src_doc_id)
+    seen: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+    rounds_run: int = 0
+
+
+def _canonicalized(df: DataFrame, url_col: str) -> DataFrame:
+    """Attach url_canon / surt / url_hash / host; drop non-crawlable rows."""
+    out = (
+        df.withColumn("url_canon", canonicalize_url(url_col))
+        .withColumn("surt", surt_key(url_col))
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("url_hash", F.xxhash64("surt"))
+        .withColumn(
+            "host", F.regexp_extract("url_canon", r"^[a-z]+://([^/:]+)", 1)
+        )
+    )
+    return out
+
+
+def _init_pending(seeds: DataFrame) -> DataFrame:
+    """Canonicalize seeds; first-wins per surt by seed_rank (total order)."""
+    c = _canonicalized(seeds, "url")
+    firsts = c.groupBy("surt").agg(
+        F.min_by(
+            F.struct("url_canon", "url_hash", "host", "seed_rank"), F.col("seed_rank")
+        ).alias("w")
+    )
+    return firsts.select(
+        "surt",
+        F.col("w.url_canon").alias("url_canon"),
+        F.col("w.url_hash").alias("url_hash"),
+        F.col("w.host").alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("src_doc_id"),
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    documents: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    politeness: DataFrame,
+    config: CrawlConfig = CrawlConfig(),
+) -> CrawlResult:
+    store = SnapshotStore(spark, config.store_root) if config.store_root else None
+    seen_state = SeenState(
+        spark,
+        num_partitions=config.num_partitions,
+        expected_total=config.expected_total,
+        use_bloom=config.use_bloom,
+    )
+    metrics: list[dict] = []
+    fetch_logs: list[DataFrame] = []
+    start_round = 0
+
+    if store and config.resume and store.latest_version() is not None:
+        m = store.meta()
+        start_round = m["next_round"]
+        metrics = list(m.get("metrics", []))
+        pending = store.load("pending")
+        seen_state.restore(
+            store.load("seen"),
+            store.load("bloom") if config.use_bloom else None,
+        )
+        fetch_logs = [store.load("fetch_log")] if "fetch_log" in store.manifest()["tables"] else []
+    else:
+        gated = robots_gate(_init_pending(seeds), robots)
+        gated = gated.localCheckpoint(eager=True)
+        seen_state.add(gated)  # denied seeds are seen too (never re-checked)
+        pending = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)
+        pending = pending.localCheckpoint(eager=True)
+
+    r = start_round
+    while r < config.max_rounds:
+        scheduled = politeness_topk(
+            pending, politeness, config.default_budget, config.n_salts
+        ).localCheckpoint(eager=True)
+        n_sched = scheduled.count()
+        if n_sched == 0:
+            break
+
+        fetch_log_r = scheduled.select(
+            F.lit(r).alias("round"), "url_canon", "surt", "url_hash", "host",
+            "depth", "src_doc_id",
+        )
+        fetch_logs.append(fetch_log_r)
+        pending = pending.join(scheduled.select("surt"), "surt", "left_anti")
+
+        # fetch: exact canonical-URL match against the document table.
+        # scheduled is tiny vs documents -> broadcast the scheduled side.
+        fetched_docs = documents.join(
+            F.broadcast(scheduled.select(F.col("url_canon").alias("url"))), "url"
+        )
+        links = extract_outlinks(fetched_docs.select("doc_id", "url", "spans"))
+        links = links.join(
+            F.broadcast(
+                scheduled.select(F.col("url_canon").alias("src_url"), F.col("depth").alias("src_depth"))
+            ),
+            "src_url",
+        )
+        cands = _canonicalized(links, "raw_url")
+        # same-round first-wins per surt: min over the discovery total order
+        discovered = cands.groupBy("surt").agg(
+            F.min_by(
+                F.struct("url_canon", "url_hash", "host", "src_depth", "src_doc_id"),
+                F.struct("src_depth", "src_url", "span_offset", "link_idx"),
+            ).alias("w")
+        ).select(
+            "surt",
+            F.col("w.url_canon").alias("url_canon"),
+            F.col("w.url_hash").alias("url_hash"),
+            F.col("w.host").alias("host"),
+            (F.col("w.src_depth") + 1).alias("depth"),
+            F.col("w.src_doc_id").alias("src_doc_id"),
+        )
+
+        novel = seen_state.novel(discovered).localCheckpoint(eager=True)
+        gated = robots_gate(novel, robots).localCheckpoint(eager=True)
+        n_novel = gated.count()
+        n_denied = gated.filter(F.col("robots_denied")).count()
+
+        seen_state.add(gated)
+        allowed = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)
+        pending = pending.unionByName(allowed).localCheckpoint(eager=True)
+        seen_state.seen = seen_state.seen.localCheckpoint(eager=True)
+        if config.use_bloom:
+            seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
+
+        n_pending = pending.count()
+        metrics.append(
+            {
+                "round": r,
+                "scheduled": n_sched,
+                "novel": n_novel,
+                "robots_denied": n_denied,
+                "pending_after": n_pending,
+            }
+        )
+
+        if store:
+            fl = fetch_logs[0]
+            for extra in fetch_logs[1:]:
+                fl = fl.unionByName(extra)
+            tables = {"pending": pending, "seen": seen_state.seen, "fetch_log": fl}
+            if config.use_bloom:
+                tables["bloom"] = seen_state.bloom
+            store.commit(tables, {"next_round": r + 1, "metrics": metrics})
+            # re-read to truncate lineage at the snapshot boundary
+            pending = store.load("pending")
+            seen_state.restore(
+                store.load("seen"), store.load("bloom") if config.use_bloom else None
+            )
+            fetch_logs = [store.load("fetch_log")]
+        r += 1
+
+    if fetch_logs:
+        fl = fetch_logs[0]
+        for extra in fetch_logs[1:]:
+            fl = fl.unionByName(extra)
+    else:
+        fl = spark.createDataFrame(
+            [], "round int, url_canon string, surt string, url_hash long,"
+            " host string, depth int, src_doc_id string"
+        )
+    # global crawl order: rounds ascend; within a round the deterministic
+    # total order (depth, url_canon). Dense seq via the distributed two-pass.
+    fl = global_sequence(fl, ["round", "depth", "url_canon"], "seq")
+    return CrawlResult(
+        fetch_log=fl, seen=seen_state.seen, metrics=metrics, rounds_run=r - start_round
+    )

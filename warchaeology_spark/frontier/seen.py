@@ -1,0 +1,168 @@
+"""URL-seen set: exact hash table + partitioned bloom pre-filter (SURVEY §4.2 #1).
+
+The reference's semantic ancestor is the Badger DigestIndex — an atomic
+read-or-insert keyed on digest (/root/reference/internal/index/
+digestindex.go:45-68). At 10^10 keys a single-node LSM (or a single
+driver-side bloom: ~12 GB at 1% fpp) cannot work; the Spark-native design:
+
+- **exact seen** — a DataFrame/table ``seen(url_hash, surt, url_canon)``
+  hash-partitioned on ``pmod(url_hash, P)``. Membership is a left-anti
+  join; this is the *source of truth*, so frontier parity is exact and a
+  bloom false positive can never lose a URL.
+- **partitioned bloom** — ``bloom(pid, bitset binary)``, one bitset per
+  hash partition, each sized for total_expected/P keys. Candidates are
+  tested *co-grouped by pid* (cogroup + applyInPandas: the bitset crosses
+  the wire once per partition, never once per row) with vectorized numpy
+  double-hashing (h1 + i*h2, the standard Kirsch-Mitzenmacher scheme).
+  Definitely-new candidates (bloom miss) skip the exact anti-join
+  entirely; only "maybe seen" rows (true hits + fpp) pay the join. At a
+  steady-state crawl where most discovered links are already seen, the
+  bloom removes the dominant shuffle.
+
+Scale math (design point, documented for the 10^10 target): P=4096
+partitions x 3.0 GB/4096 ≈ 0.7 MB... sized as bits = 14.4 *
+(10^10/4096) ≈ 4.4 MB per partition bitset at 1% fpp, k=7 — each task
+holds exactly one bitset in memory; update is an OR per partition.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bloom_params(expected_per_partition: int, fpp: float) -> tuple[int, int]:
+    """(m_bits rounded to a multiple of 64, k) for the target fpp."""
+    n = max(expected_per_partition, 1024)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(hashes), k) bit positions via double hashing on the u64 hash."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd -> full period
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _set_bits(bitset: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> None:
+    pos = _positions(hashes, m_bits, k).ravel()
+    np.bitwise_or.at(bitset, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _test_bits(bitset: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    pos = _positions(hashes, m_bits, k)
+    bits = (bitset[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+@dataclass
+class SeenState:
+    """Exact seen table + partitioned bloom, both plain DataFrames.
+
+    ``num_partitions`` is the bloom/hash partition count (fixed for the
+    crawl's lifetime — it is the key-space sharding, not the task count).
+    """
+
+    spark: SparkSession
+    num_partitions: int = 8
+    expected_total: int = 100_000
+    fpp: float = 0.01
+    use_bloom: bool = True
+
+    def __post_init__(self):
+        self.m_bits, self.k = _bloom_params(
+            self.expected_total // self.num_partitions, self.fpp
+        )
+        self.seen: DataFrame = self.spark.createDataFrame(
+            [], "url_hash long, surt string, url_canon string"
+        )
+        empty = pd.DataFrame(
+            {
+                "pid": pd.Series(range(self.num_partitions), dtype="int32"),
+                "bitset": [bytes(self.m_bits // 8)] * self.num_partitions,
+            }
+        )
+        self.bloom: DataFrame = self.spark.createDataFrame(empty)
+
+    # -- helpers ------------------------------------------------------------
+    def _pid(self, col):
+        return F.pmod(col, F.lit(self.num_partitions)).cast("int")
+
+    # -- api ----------------------------------------------------------------
+    def add(self, urls: DataFrame) -> None:
+        """Insert (url_hash, surt, url_canon) rows; caller guarantees they
+        are not already present (the round loop only adds survivors of
+        ``novel()``)."""
+        rows = urls.select("url_hash", "surt", "url_canon")
+        self.seen = self.seen.unionByName(rows)
+        if self.use_bloom:
+            m_bits, k = self.m_bits, self.k
+
+            def or_partition(key, bloom_pdf, new_pdf):
+                if len(bloom_pdf):
+                    bits = np.frombuffer(bloom_pdf["bitset"].iloc[0], dtype=np.uint8).copy()
+                else:  # partition had no bitset row (cannot happen after init)
+                    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+                if len(new_pdf):
+                    _set_bits(bits, new_pdf["url_hash"].to_numpy(), m_bits, k)
+                return pd.DataFrame({"pid": [key[0]], "bitset": [bits.tobytes()]})
+
+            new_hashed = rows.select(
+                self._pid(F.col("url_hash")).alias("pid"), "url_hash"
+            )
+            self.bloom = (
+                self.bloom.groupBy("pid")
+                .cogroup(new_hashed.groupBy("pid"))
+                .applyInPandas(or_partition, "pid int, bitset binary")
+            )
+
+    def novel(self, cands: DataFrame) -> DataFrame:
+        """Rows of ``cands`` (must carry url_hash, surt) NOT in the seen set.
+
+        Bloom miss -> definitely new (no join). Bloom hit -> exact
+        anti-join resolves false positives. Without bloom: plain anti-join.
+        """
+        if not self.use_bloom:
+            return cands.join(self.seen.select("surt"), "surt", "left_anti")
+
+        m_bits, k = self.m_bits, self.k
+
+        def test_partition(key, bloom_pdf, cand_pdf):
+            if not len(cand_pdf):
+                return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+            bits = np.frombuffer(bloom_pdf["bitset"].iloc[0], dtype=np.uint8)
+            hit = _test_bits(bits, cand_pdf["url_hash"].to_numpy(), m_bits, k)
+            return cand_pdf.assign(maybe_seen=hit)
+
+        cands_p = cands.withColumn("pid", self._pid(F.col("url_hash")))
+        schema = ", ".join(f"{n} {t}" for n, t in cands_p.dtypes) + ", maybe_seen boolean"
+        tested = (
+            self.bloom.groupBy("pid")
+            .cogroup(cands_p.groupBy("pid"))
+            .applyInPandas(test_partition, schema)
+        )
+        definitely_new = tested.filter(~F.col("maybe_seen"))
+        maybe = tested.filter(F.col("maybe_seen"))
+        resolved_new = maybe.join(self.seen.select("surt"), "surt", "left_anti")
+        return definitely_new.unionByName(resolved_new).drop("maybe_seen", "pid")
+
+    def checkpoint_to(self, write_fn) -> None:
+        """Materialize state via the caller-provided writer (checkpoint.py)."""
+        write_fn("seen", self.seen)
+        if self.use_bloom:
+            write_fn("bloom", self.bloom)
+
+    def restore(self, seen: DataFrame, bloom: DataFrame | None) -> None:
+        self.seen = seen
+        if bloom is not None:
+            self.bloom = bloom
