@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — a 2-round crawl-frontier run (the north-rule
+  pipeline: span link extraction -> SURT canonicalization -> bloom+exact
+  URL-seen -> robots gating -> salted politeness top-k -> deterministic
+  crawl order) over the deterministic t1 fixture corpus, returning the
+  fetch log.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+  SURVEY.md §2 plus the training-data-pipeline operators, over the driver's
+  parquet tables, with DuckDB oracles (see warchaeology_spark/queries.py
+  for the alias/rounding/typing conventions).
 """
 
 from __future__ import annotations
@@ -13,26 +17,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from warchaeology_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl 2 frontier rounds on the t1 synthetic corpus."""
+    from warchaeology_spark.fixtures.generate import (
+        gen_documents_spans,
+        gen_politeness,
+        gen_robots,
+        gen_seeds,
+    )
+    from warchaeology_spark.frontier.scheduler import CrawlConfig, run_crawl
+
+    docs = gen_documents_spans(spark, "t1")
+    res = run_crawl(
+        spark,
+        docs,
+        gen_seeds(spark, "t1"),
+        gen_robots(spark, "t1"),
+        gen_politeness(spark, "t1"),
+        CrawlConfig(max_rounds=2, num_partitions=4, expected_total=20_000),
+    )
+    return res.fetch_log
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,220 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the frontier
+throughput metric (BASELINE.json: URLs scheduled/sec).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier": {"urls_scheduled": N, "elapsed_sec": s, "urls_per_sec": r}}
+
+Modes (argv[1]):
+  (none)          full bench: headline queries + frontier throughput
+  --frontier-only only the frontier job (used by tools/bench_scaling.py,
+                  which runs it at two parallelism levels for the N-vs-4N
+                  scaling-efficiency evidence -> BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "pricing_summary",
+    "dedup_first_wins",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_neardup_pairs",
+    "sessionization",
+    "topk_per_group",
+    "politeness_topk_analog",
+    "url_canonicalize",
+    "url_hash_xxhash64",
+    "token_counts",
+    "quality_score",
+    "doc_fingerprint",
+    "broadcast_dim_join",
+    "lead_offset_size",
+    "deterministic_global_seq",
+]
+
+FRONTIER_TIER = os.environ.get("SPARK_GRAFT_FRONTIER_TIER", "bench")
+FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROUNDS", "3"))
+
+
+def run_frontier(spark) -> dict:
+    from warchaeology_spark.fixtures.generate import (
+        gen_documents_spans,
+        gen_politeness,
+        gen_robots,
+        gen_seeds,
+    )
+    from warchaeology_spark.frontier.scheduler import CrawlConfig, run_crawl
+
+    from pyspark.sql import functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # throughput configuration: budgets scaled up so the scheduler is
+    # compute-bound, not politeness-bound (the metric is URLs/sec the
+    # machinery can push, not the crawl-etiquette ceiling)
+    budget_scale = int(os.environ.get("SPARK_GRAFT_FRONTIER_BUDGET_SCALE", "50"))
+    docs = gen_documents_spans(spark, FRONTIER_TIER)
+    # materialize inputs first so generation cost is not in the timed region
+    docs = docs.localCheckpoint(eager=True)
+    seeds = gen_seeds(spark, FRONTIER_TIER).localCheckpoint(eager=True)
+    robots = gen_robots(spark, FRONTIER_TIER).localCheckpoint(eager=True)
+    pol = gen_politeness(spark, FRONTIER_TIER).withColumn(
+        "max_per_round", F.col("max_per_round") * budget_scale
+    ).localCheckpoint(eager=True)
+
+    t0 = time.monotonic()
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(
+            max_rounds=FRONTIER_ROUNDS,
+            default_budget=2 * budget_scale,
+            num_partitions=max(8, cpus),
+            expected_total=5_000_000,
+            n_salts=max(4, cpus // 4),
+        ),
+    )
+    scheduled = res.fetch_log.count()
+    elapsed = time.monotonic() - t0
+    return {
+        "urls_scheduled": scheduled,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(scheduled / elapsed, 1),
+        "rounds": res.rounds_run,
+        "seen": res.seen.count(),
+    }
+
+
+def run_kernel(spark, n_urls: int) -> dict:
+    """Frontier kernel: one pass of the per-round machinery over a large
+    synthesized URL batch — canonicalize (JVM regex) -> SURT -> xxhash64 ->
+    per-host salted politeness top-k -> bloom + exact seen anti-join.
+
+    This is the scaling-efficiency workload (N vs 4N cores): pure
+    compute + two shuffles, no round-loop latency, so wall-clock tracks
+    cores. Throughput = candidate URLs pushed through per second.
+    """
+    from pyspark.sql import functions as F
+
+    from warchaeology_spark.frontier.politeness import politeness_topk
+    from warchaeology_spark.frontier.seen import SeenState
+    from warchaeology_spark.functions.urls import canonicalize_url, surt_key
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_hosts = 10_000
+
+    i = F.col("id")
+    raw = F.format_string(
+        "HTTPS://Host%d.Example.COM:443/p/%d?b=%d&a=1#f",
+        F.pmod(i, F.lit(n_hosts)),
+        i,
+        F.pmod(i, F.lit(7)),
+    )
+    urls = spark.range(n_urls, numPartitions=cpus * 2).select(raw.alias("raw_url"))
+
+    # seen set: half the key space pre-seen (steady-state crawl shape)
+    seen_state = SeenState(
+        spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True
+    )
+    pre = spark.range(0, n_urls, 2, numPartitions=cpus).select(
+        F.format_string("com,example,host%d)/p/%d?a=1&b=%d",
+                        F.pmod(F.col("id"), F.lit(n_hosts)), F.col("id"),
+                        F.pmod(F.col("id"), F.lit(7))).alias("surt")
+    ).select(
+        F.xxhash64("surt").alias("url_hash"), "surt", F.lit("x").alias("url_canon")
+    ).localCheckpoint(eager=True)
+    seen_state.seen = pre
+    seen_state.add(pre.limit(0))  # initialize bloom rows
+    # build the bloom from the pre-seen set (timed separately)
+    tb0 = time.monotonic()
+    seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
+    bloom_fresh = SeenState(
+        spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True
+    )
+    bloom_fresh.add(pre)
+    bloom_fresh.bloom = bloom_fresh.bloom.localCheckpoint(eager=True)
+    seen_state.bloom = bloom_fresh.bloom
+    bloom_build_sec = time.monotonic() - tb0
+
+    pol = spark.range(n_hosts).select(
+        F.format_string("host%d.example.com", F.col("id")).alias("host"),
+        (F.pmod(F.col("id"), F.lit(3)) * 16 + 16).cast("int").alias("max_per_round"),
+    ).localCheckpoint(eager=True)
+
+    t0 = time.monotonic()
+    cand = urls.select(
+        canonicalize_url(F.col("raw_url")).alias("url_canon"),
+        surt_key(F.col("raw_url")).alias("surt"),
+    ).filter(F.col("url_canon").isNotNull()).select(
+        "url_canon", "surt",
+        F.xxhash64("surt").alias("url_hash"),
+        F.regexp_extract("url_canon", r"^[a-z]+://([^/:]+)", 1).alias("host"),
+        F.lit(0).alias("depth"),
+    )
+    novel = seen_state.novel(cand)
+    scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)
+    n_sched = scheduled.count()
+    elapsed = time.monotonic() - t0
+    return {
+        "n_urls": n_urls,
+        "scheduled": n_sched,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(n_urls / elapsed, 1),
+        "bloom_build_sec": round(bloom_build_sec, 2),
+    }
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from warchaeology_spark.queries import queries
+    from warchaeology_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kernel_only = "--kernel-only" in sys.argv
+    frontier_only = "--frontier-only" in sys.argv
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    out: dict = {"sf": sf_dir, "cpus": cpus, "unit": "sec"}
+    qtimes: dict[str, float] = {}
+    if kernel_only:
+        n = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "4000000"))
+        out["kernel"] = run_kernel(spark, n)
+        out["metric"] = "frontier_urls_scheduled_per_sec"
+        out["value"] = out["kernel"]["elapsed_sec"]
+        print(json.dumps(out))
+        spark.stop()
+        return
+    if not frontier_only:
+        qs = queries()
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.count()  # materialize the full result
+            qtimes[name] = round(time.monotonic() - t0, 3)
+        out["queries"] = qtimes
+
+    out["frontier"] = run_frontier(spark)
+    out["kernel"] = run_kernel(
+        spark, int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "1000000"))
+    )
+    out["metric"] = "frontier_urls_scheduled_per_sec"
+    out["value"] = (
+        round(sum(qtimes.values()), 3) if qtimes else out["frontier"]["elapsed_sec"]
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

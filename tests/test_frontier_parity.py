@@ -77,6 +77,18 @@ def test_bloom_off_equivalence(spark, fixture_dir, oracle_result):
     assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
 
 
+def test_bloom_sharded_equivalence(spark, fixture_dir, oracle_result):
+    # cogroup-sharded bloom path (broadcast off) must match too
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=3, use_bloom=True, broadcast_bloom=False,
+                    num_partitions=4, expected_total=20_000),
+    )
+    oracle3 = [t for t in _oracle_tuples(oracle_result) if t[0] < 3]
+    assert _fetch_tuples(res.fetch_log) == oracle3
+
+
 def test_salting_does_not_change_semantics(spark, fixture_dir, oracle_result):
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
     res = run_crawl(

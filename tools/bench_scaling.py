@@ -1,0 +1,76 @@
+"""N-vs-4N scaling-efficiency evidence (BASELINE.json north rule).
+
+The sandbox has no multi-executor cluster, so per the driver note the same
+job runs at two parallelism levels (local[N] and local[4N]) on the same
+input; throughput at both + scaling efficiency land in BENCH/BASELINE.md.
+
+The measured job is the frontier kernel (bench.py run_kernel): one pass of
+the per-round machinery (canonicalize -> SURT -> xxhash64 -> broadcast-bloom
++ exact seen anti-join -> salted politeness top-k) over SPARK_GRAFT_KERNEL_URLS
+synthesized URLs. Each configuration is a fresh JVM (subprocess).
+
+Usage: python tools/bench_scaling.py [N] [trials]   (default N=4, trials=2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_once(cpus: int, n_urls: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_KERNEL_URLS=str(n_urls),
+        SPARK_DRIVER_MEM="48g",
+    )
+    with open("/proc/loadavg") as f:
+        load_before = f.read().split()[0]
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--kernel-only"],
+        capture_output=True, text=True, env=env, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)["kernel"]
+    rec["cpus"] = cpus
+    rec["loadavg_before"] = load_before
+    return rec
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_urls = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "16000000"))
+    results = {n: [], 4 * n: []}
+    # interleave trials so background-load drift hits both configs equally
+    for _ in range(trials):
+        for cpus in (4 * n, n):
+            rec = run_once(cpus, n_urls)
+            results[cpus].append(rec)
+            print(json.dumps(rec), flush=True)
+    best = {c: min(rs, key=lambda r: r["elapsed_sec"]) for c, rs in results.items()}
+    thr_n = best[n]["urls_per_sec"]
+    thr_4n = best[4 * n]["urls_per_sec"]
+    eff = (thr_4n / thr_n) / 4
+    summary = {
+        "n_urls": n_urls,
+        "N": n,
+        "throughput_N": thr_n,
+        "throughput_4N": thr_4n,
+        "speedup": round(thr_4n / thr_n, 2),
+        "scaling_efficiency": round(eff, 3),
+        "trials": results,
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps({k: v for k, v in summary.items() if k != "trials"}))
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,7 @@ class CrawlConfig:
     default_budget: int = 2
     n_salts: int = 8
     use_bloom: bool = True
+    broadcast_bloom: bool = True  # False -> cogroup-sharded bloom (seen.py)
     num_partitions: int = 8
     expected_total: int = 100_000
     store_root: str | None = None  # enables checkpoint/resume
@@ -121,6 +122,7 @@ def run_crawl(
         num_partitions=config.num_partitions,
         expected_total=config.expected_total,
         use_bloom=config.use_bloom,
+        broadcast_bloom=config.broadcast_bloom,
     )
     metrics: list[dict] = []
     fetch_logs: list[DataFrame] = []
@@ -187,10 +189,14 @@ def run_crawl(
             F.col("w.src_doc_id").alias("src_doc_id"),
         )
 
-        novel = seen_state.novel(discovered).localCheckpoint(eager=True)
+        novel = seen_state.novel(discovered)
         gated = robots_gate(novel, robots).localCheckpoint(eager=True)
-        n_novel = gated.count()
-        n_denied = gated.filter(F.col("robots_denied")).count()
+        counts = gated.agg(
+            F.count(F.lit(1)).alias("novel"),
+            F.sum(F.col("robots_denied").cast("long")).alias("denied"),
+        ).collect()[0]
+        n_novel = counts["novel"]
+        n_denied = int(counts["denied"] or 0)
 
         seen_state.add(gated)
         allowed = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)

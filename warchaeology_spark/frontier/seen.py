@@ -78,8 +78,17 @@ class SeenState:
     expected_total: int = 100_000
     fpp: float = 0.01
     use_bloom: bool = True
+    # broadcast mode: bitsets are collected once per version and broadcast;
+    # membership is a scalar pandas UDF over ONLY the url_hash column — no
+    # extra shuffle and no wide rows through Arrow. Right whenever the
+    # total bloom fits executor memory (10^10 keys @1% fpp ~ 12 GB: still
+    # broadcastable on big-memory executors; flip to False for the
+    # cogroup-sharded path where each task sees only its shard).
+    broadcast_bloom: bool = True
 
     def __post_init__(self):
+        self._bloom_version = 0
+        self._bloom_bc = None
         self.m_bits, self.k = _bloom_params(
             self.expected_total // self.num_partitions, self.fpp
         )
@@ -125,6 +134,8 @@ class SeenState:
                 .cogroup(new_hashed.groupBy("pid"))
                 .applyInPandas(or_partition, "pid int, bitset binary")
             )
+            self._bloom_version += 1
+            self._bloom_bc = None  # invalidate the broadcast snapshot
 
     def novel(self, cands: DataFrame) -> DataFrame:
         """Rows of ``cands`` (must carry url_hash, surt) NOT in the seen set.
@@ -134,6 +145,8 @@ class SeenState:
         """
         if not self.use_bloom:
             return cands.join(self.seen.select("surt"), "surt", "left_anti")
+        if self.broadcast_bloom:
+            return self._novel_broadcast(cands)
 
         m_bits, k = self.m_bits, self.k
 
@@ -156,6 +169,35 @@ class SeenState:
         resolved_new = maybe.join(self.seen.select("surt"), "surt", "left_anti")
         return definitely_new.unionByName(resolved_new).drop("maybe_seen", "pid")
 
+    def _novel_broadcast(self, cands: DataFrame) -> DataFrame:
+        """Broadcast-bloom membership: bitsets ship to executors once per
+        bloom version; the UDF touches only the hash column."""
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        if self._bloom_bc is None:
+            rows = self.bloom.collect()
+            snapshot = {int(r["pid"]): bytes(r["bitset"]) for r in rows}
+            self._bloom_bc = self.spark.sparkContext.broadcast(snapshot)
+        bc = self._bloom_bc
+        m_bits, k, P = self.m_bits, self.k, self.num_partitions
+
+        @F.pandas_udf("boolean")
+        def bloom_maybe(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy()
+            pids = (hv % P + P) % P  # pmod
+            out = np.zeros(len(hv), dtype=bool)
+            bitmap = {p: np.frombuffer(b, dtype=np.uint8) for p, b in bc.value.items()}
+            for p in np.unique(pids):
+                sel = pids == p
+                out[sel] = _test_bits(bitmap[int(p)], hv[sel], m_bits, k)
+            return pd.Series(out)
+
+        tested = cands.withColumn("maybe_seen", bloom_maybe(F.col("url_hash")))
+        definitely_new = tested.filter(~F.col("maybe_seen"))
+        maybe = tested.filter(F.col("maybe_seen"))
+        resolved_new = maybe.join(self.seen.select("surt"), "surt", "left_anti")
+        return definitely_new.unionByName(resolved_new).drop("maybe_seen")
+
     def checkpoint_to(self, write_fn) -> None:
         """Materialize state via the caller-provided writer (checkpoint.py)."""
         write_fn("seen", self.seen)
@@ -166,3 +208,5 @@ class SeenState:
         self.seen = seen
         if bloom is not None:
             self.bloom = bloom
+        self._bloom_bc = None
+        self._bloom_version += 1

@@ -1,0 +1,246 @@
+"""Large-scale training-data deduplication operators over a documents table.
+
+These generalize the reference's digest dedup (cmd/dedup/dedup.go — exact,
+first-occurrence-wins) to the near-duplicate family a 100 TB training-data
+pipeline needs. All of them are pure DataFrame compositions (JVM, shuffle
+on the dedup key); nothing here touches Python on the data path.
+
+Portable-hash convention: every hash that must be reproducible in the
+DuckDB oracle is ``phash(seed, s) = bigint(first 15 hex chars of
+md5(seed || ':' || s))`` — identical in Spark (conv) and DuckDB (0x cast).
+Engine-internal paths (not oracle-checked) use builtin xxhash64, which is
+cheaper (no hex round-trip).
+
+Scale notes:
+- exact dedup: one shuffle on the digest; identical plan shape to J1.
+- MinHash-LSH: signatures are computed scan-side (no shuffle); the only
+  shuffle is the band-bucket self-join, whose key (band_idx, band_sig)
+  is high-cardinality by construction -> no skew. Candidate pairs then
+  verify true Jaccard; at 10^10 docs bands are the only all-pairs step
+  and it is linear in documents x bands.
+- SimHash: scan-side signature then a groupBy on the signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+
+
+def phash(seed: int | Column, c: Column) -> Column:
+    """Portable 60-bit hash (md5-derived) — same value in DuckDB oracle."""
+    s = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.concat(s, F.lit(":"), c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def words_of(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (portable)."""
+    return F.filter(F.split(F.lower(text), " "), lambda w: w != F.lit(""))
+
+
+def word_shingles(words: Column, n: int = 2) -> Column:
+    """Word n-gram shingles (1-based element_at, portable with DuckDB)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(F.size(words) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — the J1 plan on documents
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """First-occurrence-wins exact dedup on md5(text); returns every doc
+    annotated with its digest, keep flag and the keeper's id."""
+    d = docs.withColumn("digest", F.md5(F.col(text_col)))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_dup", F.col("rn") > 1)
+        .withColumn("keeper", F.min(id_col).over(Window.partitionBy("digest")))
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 8  # signature length
+LSH_BANDS = 4  # -> rows-per-band r = K / BANDS = 2
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) — min over portable-hashed 2-gram shingles.
+
+    Docs with fewer than 2 words have no shingles and are excluded (both
+    engine and oracle apply the same rule).
+    """
+    w = words_of(F.col(text_col))
+    sh = word_shingles(w, 2)
+    out = docs.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+
+    def hash_with(seed: int):
+        # NB: a factory, not a default-arg lambda — pyspark infers lambda
+        # arity by signature, so `lambda s, i=i:` would become the 2-arg
+        # (element, index) form and silently rebind i to the index column
+        return lambda s: phash(seed, s)
+
+    for i in range(k):
+        out = out.withColumn(
+            f"sig_{i}", F.array_min(F.transform(F.col("sh"), hash_with(i)))
+        )
+    return out.drop("sh")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band signature.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The band join is the
+    only shuffle; key cardinality ~ #distinct band signatures.
+    """
+    r = k // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k)
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(":", *[F.col(f"sig_{b * r + j}") for j in range(r)]).alias("band_sig"),
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with true shingle Jaccard; keep >= threshold."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(words_of(F.col(text_col)), 2)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # kept SQL-portable; engine-internal variant could use 64
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) — per-bit majority vote over portable token hashes."""
+    toks = docs.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("tok")
+    ).withColumn("h", phash(0, F.col("tok")))
+    aggs = []
+    for b in range(bits):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}")
+        )
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (bucketed all-pairs within blocking keys)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_neardups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All-pairs Jaccard *within blocking keys* (never global all-pairs).
+
+    Blocking bounds the quadratic term: pairs only form inside
+    (block_cols, n_chars//64) buckets.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        (F.length(text_col) / 64).cast("long").alias("len_bucket"),
+        F.array_distinct(word_shingles(words_of(F.col(text_col)), 2)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.len_bucket") == F.col("b.len_bucket")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard",
+        )
+    )

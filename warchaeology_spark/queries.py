@@ -1,0 +1,1136 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 (plus
+the training-data-pipeline operators) re-expressed over the driver's
+parquet tables, each paired with an ANSI-SQL oracle DuckDB can run on the
+same tables.
+
+Conventions (the driver compares row-count + schema + order-insensitive
+value-hash after sorting columns BY NAME):
+- every computed column is aliased identically in Spark and SQL;
+- counts/ranks/sizes cast to bigint on both sides (Spark row_number is
+  int, DuckDB's is bigint);
+- float results rounded (2-4 dp) identically on both sides, with all
+  oracle arithmetic forced to double (DuckDB list_cosine_similarity is
+  float32 — verified mismatch — so oracles spell out the double math);
+- timestamps rendered as strings where sub-second formatting could
+  diverge.
+
+Queries marked ``oracle = None`` are genuinely non-SQL-expressible
+(xxhash64, approximate LSH) — the driver records the weaker rows-only
+check for those; their exact semantics are pytest-verified instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warchaeology_spark.functions.dates import parse_http_date
+from warchaeology_spark.functions.strings import crop_string, normalize_record_id
+from warchaeology_spark.functions.urls import canonicalize_url, surt_key
+from warchaeology_spark.operators.similarity import cosine
+from warchaeology_spark.operators.textdedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    jaccard_pairs,
+    ngram_jaccard_neardups,
+    simhash_signatures,
+)
+from warchaeology_spark.operators.textstats import (
+    EN_STOPWORDS,
+    TOKEN_RE,
+    fingerprint,
+    lang_id_en,
+    quality_score,
+    token_counts,
+)
+from warchaeology_spark.plans.ranks import global_sequence
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# B/C tier: projections, filters, per-group row selection (ls semantics)
+# =========================================================================
+
+
+@q(
+    "ls_cdx_projection",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 40
+                THEN substring(text, 1, 39) || '…' ELSE text END AS text_crop,
+           rpad(lang, 8, ' ') AS lang_pad,
+           lpad(n_chars::varchar, 11, ' ') AS chars_pad
+    FROM documents
+    """,
+)
+def ls_cdx_projection(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        crop_string(F.col("text"), 40).alias("text_crop"),
+        F.rpad("lang", 8, " ").alias("lang_pad"),
+        F.lpad(F.col("n_chars").cast("string"), 11, " ").alias("chars_pad"),
+    )
+
+
+@q(
+    "record_filter_conjunctive",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value BETWEEN 5 AND 50
+      AND user_id % 7 != 0
+    """,
+)
+def record_filter_conjunctive(spark, sf):
+    e = T(spark, sf, "events")
+    return e.filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").between(5, 50)
+        & (F.col("user_id") % 7 != 0)
+    ).select("event_id", "event_type", F.round("value", 2).alias("value_r"))
+
+
+def _egroup_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@q(
+    "per_group_limit",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def per_group_limit(spark, sf):
+    e = T(spark, sf, "events")
+    return (
+        e.withColumn("rn", F.row_number().over(_egroup_window()).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@q(
+    "per_group_nth",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 2
+    """,
+)
+def per_group_nth(spark, sf):
+    e = T(spark, sf, "events")
+    return (
+        e.withColumn("rn", F.row_number().over(_egroup_window()))
+        .filter(F.col("rn") == 2)
+        .select("user_id", "event_id")
+    )
+
+
+@q(
+    "per_group_skip",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn > 5
+    """,
+)
+def per_group_skip(spark, sf):
+    e = T(spark, sf, "events")
+    return (
+        e.withColumn("rn", F.row_number().over(_egroup_window()))
+        .filter(F.col("rn") > 5)
+        .select("user_id", "event_id")
+    )
+
+
+@q(
+    "nth_wins_compose",
+    """
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events WHERE value > 1) t
+    WHERE rn = 3
+    """,
+)
+def nth_wins_compose(spark, sf):
+    # Compose(filter, nth=3, limit=10): nth wins (combinators.go:101-112)
+    e = T(spark, sf, "events").filter(F.col("value") > 1)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nth = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 3)  # nth beats the limit=10 branch
+        .select("event_type", "event_id")
+    )
+    return nth
+
+
+@q(
+    "offset_seek",
+    """
+    SELECT event_id, user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    """,
+)
+def offset_seek(spark, sf):
+    e = T(spark, sf, "events")
+    return e.filter(F.col("ts") >= "2024-01-03 00:00:00").select("event_id", "user_id")
+
+
+# =========================================================================
+# D tier: aggregations (validate semantics)
+# =========================================================================
+
+
+@q(
+    "per_file_stats",
+    """
+    SELECT event_type,
+           count(*)::bigint AS records,
+           count(DISTINCT user_id)::bigint AS n_users,
+           round(sum(value), 2) AS value_sum,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS error_records
+    FROM events GROUP BY event_type
+    """,
+)
+def per_file_stats_q(spark, sf):
+    e = T(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("records"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "error_records"
+        ),
+    )
+
+
+@q(
+    "global_stats",
+    """
+    SELECT count(DISTINCT event_type)::bigint AS files,
+           count(*)::bigint AS records,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS errors
+    FROM events
+    """,
+)
+def global_stats_q(spark, sf):
+    e = T(spark, sf, "events")
+    return e.agg(
+        F.countDistinct("event_type").alias("files"),
+        F.count(F.lit(1)).alias("records"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+    )
+
+
+@q(
+    "file_hash_agg",
+    """
+    SELECT event_type,
+           md5(array_to_string(list_sort(list(event_id::varchar)), '|')) AS group_hash
+    FROM events GROUP BY event_type
+    """,
+)
+def file_hash_agg(spark, sf):
+    e = T(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("event_id").cast("string"))), "|")
+        ).alias("group_hash")
+    )
+
+
+@q(
+    "distinct_paths",
+    "SELECT DISTINCT source FROM documents",
+)
+def distinct_paths(spark, sf):
+    return T(spark, sf, "documents").select("source").dropDuplicates()
+
+
+# =========================================================================
+# E tier: joins (dedup / resume / membership)
+# =========================================================================
+
+
+@q(
+    "dedup_first_wins",
+    """
+    SELECT doc_id, digest, (rn > 1) AS is_dup, keeper FROM (
+      SELECT doc_id, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents) t
+    """,
+)
+def dedup_first_wins_q(spark, sf):
+    d = exact_dedup(T(spark, sf, "documents"))
+    return d.select("doc_id", "digest", "is_dup", "keeper")
+
+
+@q(
+    "dedup_size_gain",
+    """
+    SELECT doc_id, (rn > 1) AS is_dup,
+           ((rn > 1) AND n_chars - 512 > 2048) AS rewrite FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) t
+    """,
+)
+def dedup_size_gain(spark, sf):
+    d = exact_dedup(T(spark, sf, "documents"))
+    return d.select(
+        "doc_id",
+        "is_dup",
+        (F.col("is_dup") & (F.col("n_chars") - 512 > 2048)).alias("rewrite"),
+    )
+
+
+@q(
+    "revisit_projection",
+    """
+    SELECT doc_id, keeper AS refers_to, digest FROM (
+      SELECT doc_id, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents) t
+    WHERE rn > 1
+    """,
+)
+def revisit_projection_q(spark, sf):
+    d = exact_dedup(T(spark, sf, "documents"))
+    return d.filter(F.col("is_dup")).select(
+        "doc_id", F.col("keeper").alias("refers_to"), "digest"
+    )
+
+
+@q(
+    "resume_anti_join",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders p WHERE p.o_orderkey % 7 = 0
+        AND p.o_orderkey = o.o_orderkey)
+    """,
+)
+def resume_anti_join(spark, sf):
+    o = T(spark, sf, "orders")
+    processed = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return o.join(processed, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@q(
+    "id_membership",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_id IN (1, 5, 42, 137, 999, 2024, 4096, 5000, 7777, 9999)
+    """,
+)
+def id_membership(spark, sf):
+    e = T(spark, sf, "events")
+    return e.filter(
+        F.col("event_id").isin(1, 5, 42, 137, 999, 2024, 4096, 5000, 7777, 9999)
+    ).select("event_id", "event_type")
+
+
+@q(
+    "broadcast_dim_join",
+    """
+    SELECT n.n_name, count(*)::bigint AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def broadcast_dim_join(spark, sf):
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# =========================================================================
+# F tier: windows
+# =========================================================================
+
+
+@q(
+    "lead_offset_size",
+    """
+    SELECT event_id,
+           (epoch(date_trunc('second', lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+            - epoch(date_trunc('second', ts)))::bigint AS gap_seconds
+    FROM events
+    """,
+)
+def lead_offset_size(spark, sf):
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("gap_seconds"),
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, rank FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) t
+    WHERE rank <= 5
+    """,
+)
+def topk_per_group(spark, sf):
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rank")
+    )
+
+
+@q(
+    "sessionization",
+    """
+    SELECT user_id, event_id, session_id::bigint AS session_id FROM (
+      SELECT user_id, event_id,
+             sum(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap
+        FROM events) g) s
+    """,
+)
+def sessionization(spark, sf):
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap", gap)
+        .withColumn(
+            "session_id",
+            F.sum(F.when(F.col("gap").isNull() | (F.col("gap") <= 1800), 0).otherwise(1))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+# =========================================================================
+# G tier: ordering (deterministic global sequence — distributed impl)
+# =========================================================================
+
+
+@q(
+    "deterministic_global_seq",
+    """
+    SELECT doc_id, (row_number() OVER (ORDER BY lang, doc_id) - 1)::bigint AS seq
+    FROM documents
+    """,
+)
+def deterministic_global_seq(spark, sf):
+    d = T(spark, sf, "documents").select("doc_id", "lang")
+    return global_sequence(d, ["lang", "doc_id"], "seq").select("doc_id", "seq")
+
+
+# =========================================================================
+# H tier: set ops
+# =========================================================================
+
+
+@q(
+    "set_except_all",
+    """
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 50000
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark, sf):
+    o = T(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 50000).select("o_orderkey")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return hi.exceptAll(f)
+
+
+# =========================================================================
+# I tier: scalar functions
+# =========================================================================
+
+
+@q(
+    "date_to14_roundtrip",
+    """
+    SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS date14,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS back
+    FROM events
+    """,
+)
+def date_to14_roundtrip(spark, sf):
+    e = T(spark, sf, "events")
+    d14 = F.date_format("ts", "yyyyMMddHHmmss")
+    return e.select(
+        "event_id",
+        d14.alias("date14"),
+        F.date_format(F.to_timestamp(d14, "yyyyMMddHHmmss"), "yyyy-MM-dd HH:mm:ss").alias(
+            "back"
+        ),
+    )
+
+
+@q(
+    "date_w3cdtf",
+    """
+    SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS w3c
+    FROM events
+    """,
+)
+def date_w3cdtf(spark, sf):
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("w3c")
+    )
+
+
+@q(
+    "http_date_parse_chain",
+    """
+    SELECT event_id,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed
+    FROM events
+    """,
+)
+def http_date_parse_chain(spark, sf):
+    # format ts as RFC1123 and push it back through the 15-format chain
+    e = T(spark, sf, "events")
+    rfc = F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+    return e.select(
+        "event_id",
+        F.date_format(parse_http_date(rfc), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
+@q(
+    "url_canonicalize",
+    """
+    SELECT event_id,
+           'https://host' || (user_id % 50)::varchar || '.example.com/p/'
+             || event_id::varchar || '?a=1&b=2' AS url_canon
+    FROM events
+    """,
+)
+def url_canonicalize_q(spark, sf):
+    # engine runs the real canonicalizer on a messy synthesized URL; the
+    # oracle constructs the expected canonical form directly
+    e = T(spark, sf, "events")
+    raw = F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".Example.COM:443/p/"),
+        F.col("event_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    return e.select("event_id", canonicalize_url(raw).alias("url_canon"))
+
+
+@q(
+    "surt_key",
+    """
+    SELECT event_id,
+           'com,example,host' || (user_id % 50)::varchar || ')/p/'
+             || event_id::varchar || '?a=1&b=2' AS surt
+    FROM events
+    """,
+)
+def surt_key_q(spark, sf):
+    e = T(spark, sf, "events")
+    raw = F.concat(
+        F.lit("http://host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+        F.lit("?b=2&a=1"),
+    )
+    return e.select("event_id", surt_key(raw).alias("surt"))
+
+
+@q(
+    "normalize_record_id",
+    """
+    SELECT event_id,
+           substring(md5(event_id::varchar), 1, 8) || '-' ||
+           substring(md5(event_id::varchar), 9, 4) || '-' ||
+           substring(md5(event_id::varchar), 13, 4) || '-' ||
+           substring(md5(event_id::varchar), 17, 4) || '-' ||
+           substring(md5(event_id::varchar), 21, 12) AS rid
+    FROM events
+    """,
+)
+def normalize_record_id_q(spark, sf):
+    e = T(spark, sf, "events")
+    m = F.md5(F.col("event_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    wrapped = F.concat(F.lit("<urn:uuid:"), uuid, F.lit(">"))
+    return e.select("event_id", normalize_record_id(wrapped).alias("rid"))
+
+
+@q(
+    "url_hash_portable",
+    """
+    SELECT event_id,
+           ('0x' || substring(md5('42:' || 'https://host' || (user_id % 50)::varchar
+             || '.example.com/p/' || event_id::varchar), 1, 15))::bigint AS url_hash
+    FROM events
+    """,
+)
+def url_hash_portable(spark, sf):
+    from warchaeology_spark.operators.textdedup import phash
+
+    e = T(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+    )
+    return e.select("event_id", phash(42, url).alias("url_hash"))
+
+
+@q("url_hash_xxhash64", None)  # no DuckDB xxhash64 — rows-only; pytest pins
+def url_hash_xxhash64(spark, sf):
+    e = T(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+    )
+    return e.select("event_id", F.xxhash64(url).alias("url_hash"))
+
+
+@q(
+    "subdir_pattern",
+    """
+    SELECT event_id, strftime(ts, '%Y/%m/%d') AS subdir FROM events
+    """,
+)
+def subdir_pattern(spark, sf):
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", F.date_format("ts", "yyyy/MM/dd").alias("subdir")
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::bigint AS k FROM events
+    """,
+)
+def json_extract_props(spark, sf):
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# =========================================================================
+# Frontier analogs on driver tables (full pipeline is pytest/bench)
+# =========================================================================
+
+
+@q(
+    "politeness_topk_analog",
+    """
+    SELECT host, event_id FROM (
+      SELECT 'h' || (user_id % 20)::varchar AS host, event_id,
+             row_number() OVER (PARTITION BY user_id % 20
+                                ORDER BY ts, event_id) AS rn,
+             ((user_id % 20) % 3) + 1 AS budget
+      FROM events) t
+    WHERE rn <= budget
+    """,
+)
+def politeness_topk_analog(spark, sf):
+    e = T(spark, sf, "events").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+    ).withColumn("budget", ((F.col("user_id") % 20) % 3 + 1))
+    # salted two-phase top-k (the frontier's skew-safe politeness window)
+    salt = F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(4))
+    w1 = Window.partitionBy("host", salt).orderBy("ts", "event_id")
+    p1 = e.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("budget")
+    )
+    w2 = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        p1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col("budget"))
+        .select("host", "event_id")
+    )
+
+
+@q(
+    "robots_gate_analog",
+    """
+    SELECT d.doc_id, (r.source IS NOT NULL) AS denied
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT source FROM documents
+               WHERE (substring(source, 4)::bigint) % 5 = 3) r
+      ON d.source = r.source AND ('/p/' || (d.doc_id % 100)::varchar) LIKE '/p/1%'
+    """,
+)
+def robots_gate_analog(spark, sf):
+    d = T(spark, sf, "documents")
+    rules = (
+        d.filter(F.substring("source", 4, 10).cast("long") % 5 == 3)
+        .select(F.col("source").alias("_rsrc"))
+        .distinct()
+    )
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 100).cast("string"))
+    joined = d.join(
+        F.broadcast(rules),
+        (d["source"] == rules["_rsrc"]) & path.startswith("/p/1"),
+        "left",
+    )
+    return joined.select("doc_id", F.col("_rsrc").isNotNull().alias("denied"))
+
+
+# =========================================================================
+# Training-data dedup family
+# =========================================================================
+
+_MINHASH_SQL_SIGS = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS sh
+      FROM w WHERE len(ws) >= 2
+    )
+"""
+
+
+def _minhash_sig_exprs_sql(k: int = 8) -> str:
+    cols = [
+        f"list_min(list_transform(sh, s -> ('0x' || substring(md5('{i}:' || s), 1, 15))::bigint)) AS sig_{i}"
+        for i in range(k)
+    ]
+    return ", ".join(cols)
+
+
+@q(
+    "minhash_signatures",
+    _MINHASH_SQL_SIGS + f"SELECT doc_id, {_minhash_sig_exprs_sql()} FROM sh",
+)
+def minhash_signatures_q(spark, sf):
+    return minhash_signatures(T(spark, sf, "documents"))
+
+
+@q(
+    "minhash_lsh_pairs",
+    _MINHASH_SQL_SIGS
+    + f"""
+    , sigs AS (SELECT doc_id, {_minhash_sig_exprs_sql()} FROM sh)
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, sig_0::varchar || ':' || sig_1::varchar AS band_sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, sig_2::varchar || ':' || sig_3::varchar FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, sig_4::varchar || ':' || sig_5::varchar FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, sig_6::varchar || ':' || sig_7::varchar FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_q(spark, sf):
+    return minhash_lsh_pairs(T(spark, sf, "documents"))
+
+
+@q(
+    "minhash_jaccard_verified",
+    _MINHASH_SQL_SIGS
+    + f"""
+    , sigs AS (SELECT doc_id, {_minhash_sig_exprs_sql()} FROM sh)
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, sig_0::varchar || ':' || sig_1::varchar AS band_sig FROM sigs
+      UNION ALL SELECT doc_id, 1, sig_2::varchar || ':' || sig_3::varchar FROM sigs
+      UNION ALL SELECT doc_id, 2, sig_4::varchar || ':' || sig_5::varchar FROM sigs
+      UNION ALL SELECT doc_id, 3, sig_6::varchar || ':' || sig_7::varchar FROM sigs
+    )
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    , dsh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT p.id_a, p.id_b,
+           round(len(list_intersect(a.sh, b.sh))::double
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM pairs p JOIN dsh a ON p.id_a = a.doc_id JOIN dsh b ON p.id_b = b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    """,
+)
+def minhash_jaccard_verified(spark, sf):
+    docs = T(spark, sf, "documents")
+    return jaccard_pairs(docs, minhash_lsh_pairs(docs), threshold=0.5)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    total = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substring(md5('0:' || tok), 1, 15))::bigint AS h FROM t
+    ), v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({total})::bigint AS simhash FROM v
+    """
+
+
+@q("simhash_signatures", _simhash_sql())
+def simhash_signatures_q(spark, sf):
+    return simhash_signatures(T(spark, sf, "documents"))
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, (length(text) // 64) AS len_bucket,
+             list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+      FROM (SELECT doc_id, lang, text,
+                   list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+            FROM documents)
+      WHERE len(ws) >= 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))::double
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM s a JOIN s b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) t
+    WHERE jaccard >= 0.6
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf):
+    return ngram_jaccard_neardups(T(spark, sf, "documents"), threshold=0.6)
+
+
+# =========================================================================
+# Similarity search
+# =========================================================================
+
+_COS_SQL = """
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5)
+    , scored AS (
+      SELECT q.query_id, d.vec_id,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * d.v[i]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(d.v, x -> x * x)))), 4) AS cos_sim
+      FROM q CROSS JOIN d
+    )
+"""
+
+
+@q(
+    "embedding_cosine_topk",
+    _COS_SQL
+    + """
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark, sf):
+    from warchaeology_spark.operators.similarity import cosine_topk
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "embedding_neardup_pairs",
+    """
+    WITH d AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos_sim
+      FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id) t
+    WHERE cos_sim >= 0.2
+    """,
+)
+def embedding_neardup_pairs(spark, sf):
+    # label-blocked exact variant (oracle-checkable); the LSH-blocked
+    # approximate variant is ann_lsh_topk below (rows-only)
+    emb = T(spark, sf, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
+@q("ann_lsh_topk", None)  # approximate by design — rows-only; recall pytest'd
+def ann_lsh_topk_q(spark, sf):
+    from warchaeology_spark.operators.similarity import ann_lsh_topk
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, queries, k=5)
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+_STOP_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@q(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id, stop_ratio,
+           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(ws) > 0
+                  THEN round(len(list_filter(ws, t -> list_contains({_STOP_SQL_LIST}, t)))::double / len(ws), 4)
+                  ELSE 0.0 END AS stop_ratio
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+            FROM documents))
+    """,
+)
+def lang_id_heuristic(spark, sf):
+    return lang_id_en(T(spark, sf, "documents")).select(
+        "doc_id", "stop_ratio", "lang_pred"
+    )
+
+
+@q(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x != ''))::bigint AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::bigint AS re_tokens,
+           length(text)::bigint AS n_chars_calc
+    FROM documents
+    """,
+)
+def token_counts_q(spark, sf):
+    return token_counts(T(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long"),
+        F.col("re_tokens").cast("long"),
+        F.col("n_chars_calc").cast("long"),
+    )
+
+
+@q(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           round(least(length(text) / 400.0, 1.0)
+                 * least(CASE WHEN len(ws) > 0
+                              THEN round(len(list_filter(ws, t -> list_contains({_STOP_SQL_LIST}, t)))::double / len(ws), 4)
+                              ELSE 0.0 END / 0.2, 1.0)
+                 * CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::double / length(text)
+                        ELSE 0.0 END, 4) AS quality
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+          FROM documents)
+    """,
+)
+def quality_score_q(spark, sf):
+    return quality_score(T(spark, sf, "documents")).select("doc_id", "quality")
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN len(ws) > 0 THEN
+             list_min(list_transform(
+               list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
+               g -> ('0x' || substring(md5('7:' || g), 1, 15))::bigint))
+           ELSE NULL END AS fingerprint
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ' '),
+                             x -> x != '') AS ws
+          FROM documents)
+    """,
+)
+def doc_fingerprint(spark, sf):
+    return fingerprint(T(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+# =========================================================================
+# TPC-H-style workhorses (agg/join coverage at bench scale)
+# =========================================================================
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*)::bigint AS n
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "pivot_event_types",
+    """
+    SELECT user_id % 10 AS bucket,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS error
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def pivot_event_types(spark, sf):
+    e = T(spark, sf, "events").withColumn("bucket", F.col("user_id") % 10)
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("bucket").agg(*aggs)
+
+
+# =========================================================================
+# registry accessors
+# =========================================================================
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
