@@ -1,0 +1,105 @@
+"""Physical-plan audits (.explain-driven): the plans we'd want at 100 TB,
+asserted so regressions surface in CI, not on the cluster.
+
+Each test inspects the optimized/executed plan string for the property
+that matters at scale: scan pruning, filter pushdown, broadcast joins for
+dims, no single-partition exchanges in the frontier path, no Window in the
+distributed sequence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_projection_prunes_payload(fetch_records, fixture_dir, spark):
+    # reference rewrite: skip block parsing unless m/s selected
+    # (ls.go:116-118) == Parquet column pruning here: a projection without
+    # payload must not read the payload column
+    from warchaeology_spark.operators.ls import cdx_projection
+
+    df = spark.read.parquet(f"{fixture_dir}/fetch_records.parquet")
+    proj = cdx_projection(df, "V+11iT-8a100")
+    p = plan_of(proj)
+    assert "ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "payload" not in read_schema
+    assert "url" in read_schema
+
+
+def test_filter_pushdown_reaches_scan(fixture_dir, spark):
+    df = spark.read.parquet(f"{fixture_dir}/fetch_records.parquet")
+    out = df.filter((F.col("status_code") >= 200) & (F.col("status_code") < 300))
+    p = plan_of(out)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThanOrEqual(status_code,200)" in pushed[0]
+
+
+def test_robots_gate_broadcasts(spark, fixture_dir):
+    from warchaeology_spark.frontier.politeness import robots_gate
+
+    urls = spark.createDataFrame(
+        [("http://h3.example.org/p1", "h3.example.org", "com,x)/p1", 1, 0, None)],
+        "url_canon string, host string, surt string, url_hash long, depth int, src_doc_id string",
+    )
+    robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+    p = plan_of(robots_gate(urls, robots))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_dim_join_broadcasts(spark):
+    from warchaeology_spark.queries import broadcast_dim_join
+
+    p = plan_of(broadcast_dim_join(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_politeness_topk_no_single_partition(spark, fixture_dir):
+    from warchaeology_spark.frontier.politeness import politeness_topk
+
+    pending = spark.read.parquet(f"{fixture_dir}/seeds.parquet").select(
+        F.col("url").alias("url_canon"),
+        F.regexp_extract("url", r"://([^/]+)", 1).alias("host"),
+        (F.col("seed_rank") % 3).alias("depth"),
+    )
+    pol = spark.read.parquet(f"{fixture_dir}/politeness.parquet")
+    p = plan_of(politeness_topk(pending, pol))
+    # the windows partition by (host[, salt]) — never a global window
+    assert "SinglePartition" not in p
+
+
+def test_global_sequence_has_no_window(spark):
+    from warchaeology_spark.plans.ranks import global_sequence
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    out = global_sequence(df, ["k"], "seq", num_partitions=4)
+    p = plan_of(out)
+    assert "Window" not in p
+    assert "MapInPandas" in p
+    # and it is actually dense + correctly ordered
+    rows = [r["seq"] for r in out.orderBy("k").collect()]
+    assert rows == list(range(1000))
+
+
+def test_dedup_exchanges_bounded(fetch_records):
+    from warchaeology_spark.operators.dedup import dedup_first_wins
+
+    p = plan_of(dedup_first_wins(fetch_records))
+    # window + join-back share the digest hash partitioning; the plan must
+    # not cascade exchanges per operator (<=1 exchange per join input side)
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 4, p
+
+
+def test_pricing_summary_partial_agg(spark):
+    from warchaeology_spark.queries import pricing_summary
+
+    p = plan_of(pricing_summary(spark, "/root/testdata/sf0.001"))
+    # partial (map-side) aggregation before the exchange
+    assert "partial_sum" in p or "partial_" in p

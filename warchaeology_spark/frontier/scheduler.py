@@ -73,6 +73,11 @@ class CrawlResult:
     fetch_log: DataFrame  # (round, seq, url_canon, surt, url_hash, host, depth, src_doc_id)
     seen: DataFrame
     metrics: list[dict] = field(default_factory=list)
+    # per-partition lineage (north rule): for each round, scheduled-row
+    # counts per url_hash partition — the audit trail that a resume/replay
+    # re-derives the same shard contents. Kept separate from `metrics` so
+    # metrics stays bit-comparable with the sequential oracle's.
+    partition_metrics: list[dict] = field(default_factory=list)
     rounds_run: int = 0
 
 
@@ -125,6 +130,7 @@ def run_crawl(
         broadcast_bloom=config.broadcast_bloom,
     )
     metrics: list[dict] = []
+    partition_metrics: list[dict] = []
     fetch_logs: list[DataFrame] = []
     start_round = 0
 
@@ -132,6 +138,7 @@ def run_crawl(
         m = store.meta()
         start_round = m["next_round"]
         metrics = list(m.get("metrics", []))
+        partition_metrics = list(m.get("partition_metrics", []))
         pending = store.load("pending")
         seen_state.restore(
             store.load("seen"),
@@ -215,6 +222,16 @@ def run_crawl(
                 "pending_after": n_pending,
             }
         )
+        part_rows = (
+            scheduled.groupBy(
+                F.pmod(F.col("url_hash"), F.lit(config.num_partitions)).cast("int").alias("pid")
+            )
+            .count()
+            .collect()
+        )
+        partition_metrics.append(
+            {"round": r, "scheduled_per_partition": {int(x["pid"]): x["count"] for x in part_rows}}
+        )
 
         if store:
             fl = fetch_logs[0]
@@ -223,7 +240,14 @@ def run_crawl(
             tables = {"pending": pending, "seen": seen_state.seen, "fetch_log": fl}
             if config.use_bloom:
                 tables["bloom"] = seen_state.bloom
-            store.commit(tables, {"next_round": r + 1, "metrics": metrics})
+            store.commit(
+                tables,
+                {
+                    "next_round": r + 1,
+                    "metrics": metrics,
+                    "partition_metrics": partition_metrics,
+                },
+            )
             # re-read to truncate lineage at the snapshot boundary
             pending = store.load("pending")
             seen_state.restore(
@@ -245,5 +269,9 @@ def run_crawl(
     # total order (depth, url_canon). Dense seq via the distributed two-pass.
     fl = global_sequence(fl, ["round", "depth", "url_canon"], "seq")
     return CrawlResult(
-        fetch_log=fl, seen=seen_state.seen, metrics=metrics, rounds_run=r - start_round
+        fetch_log=fl,
+        seen=seen_state.seen,
+        metrics=metrics,
+        partition_metrics=partition_metrics,
+        rounds_run=r - start_round,
     )

@@ -37,6 +37,17 @@ def phash(seed: int | Column, c: Column) -> Column:
     ).cast("long")
 
 
+def phash_window(c: Column, i: int) -> Column:
+    """i-th 60-bit window of ONE md5: substring(md5(x), 1+2i, 15) as bigint.
+
+    The k minhash permutations share a single md5 evaluation per shingle
+    (the md5 is the cost; the windows are free) — 32 hex chars give 9
+    overlapping 15-char windows, enough for k=8. Same construct in the
+    DuckDB oracle.
+    """
+    return F.conv(F.substring(F.md5(c), 1 + 2 * i, 15), 16, 10).cast("long")
+
+
 def words_of(text: Column) -> Column:
     """Lowercased whitespace tokens, empties dropped (portable)."""
     return F.filter(F.split(F.lower(text), " "), lambda w: w != F.lit(""))
@@ -90,18 +101,27 @@ def minhash_signatures(
     w = words_of(F.col(text_col))
     sh = word_shingles(w, 2)
     out = docs.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+    # one md5 per shingle, k windows of it (phash_window) — computed once
+    # into an array column, then k array_min's over element i
+    assert k <= 9, "k windows of one md5 cap at 9; chain a second md5 beyond"
 
-    def hash_with(seed: int):
-        # NB: a factory, not a default-arg lambda — pyspark infers lambda
-        # arity by signature, so `lambda s, i=i:` would become the 2-arg
-        # (element, index) form and silently rebind i to the index column
-        return lambda s: phash(seed, s)
+    def windows_of(s: Column) -> Column:
+        m = F.md5(s)
+        return F.array(
+            *[F.conv(F.substring(m, 1 + 2 * i, 15), 16, 10).cast("long") for i in range(k)]
+        )
+
+    out = out.withColumn("_hw", F.transform(F.col("sh"), windows_of))
+
+    def min_at(i: int):
+        # factory, not default-arg lambda (pyspark infers arity by signature)
+        return lambda w: F.element_at(w, i + 1)
 
     for i in range(k):
         out = out.withColumn(
-            f"sig_{i}", F.array_min(F.transform(F.col("sh"), hash_with(i)))
+            f"sig_{i}", F.array_min(F.transform(F.col("_hw"), min_at(i)))
         )
-    return out.drop("sh")
+    return out.drop("sh", "_hw")
 
 
 def minhash_lsh_pairs(
@@ -158,6 +178,13 @@ def jaccard_pairs(
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        # size-ratio prune: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so pairs
+        # whose sizes differ by more than the threshold can't qualify —
+        # dropped BEFORE the expensive intersect/union
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.greatest(F.size("sh_a"), F.size("sh_b")) * threshold
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -227,6 +254,11 @@ def ngram_jaccard_neardups(
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # size-ratio prune (see jaccard_pairs): cheap, semantics-preserving
+    cond = cond & (
+        F.least(F.size("a.sh"), F.size("b.sh"))
+        >= F.greatest(F.size("a.sh"), F.size("b.sh")) * threshold
+    )
     return (
         a.join(b, cond)
         .withColumn(

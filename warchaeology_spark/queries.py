@@ -770,8 +770,10 @@ _MINHASH_SQL_SIGS = """
 
 
 def _minhash_sig_exprs_sql(k: int = 8) -> str:
+    # k overlapping 15-hex windows of ONE md5 per shingle (mirrors
+    # textdedup.minhash_signatures / phash_window)
     cols = [
-        f"list_min(list_transform(sh, s -> ('0x' || substring(md5('{i}:' || s), 1, 15))::bigint)) AS sig_{i}"
+        f"list_min(list_transform(sh, s -> ('0x' || substring(md5(s), {1 + 2 * i}, 15))::bigint)) AS sig_{i}"
         for i in range(k)
     ]
     return ", ".join(cols)
