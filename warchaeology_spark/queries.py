@@ -1125,6 +1125,92 @@ def pivot_event_types(spark, sf):
     return e.groupBy("bucket").agg(*aggs)
 
 
+@q(
+    "type_bitmask_filter",
+    """
+    SELECT event_id, mask FROM (
+      SELECT event_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS mask
+      FROM events) t
+    WHERE (mask & 10) != 0
+    """,
+)
+def type_bitmask_filter(spark, sf):
+    # P5 ByRecordType semantics: OR-bitmask membership (filter.go:76,
+    # combinators.go:126-138) — 10 = view|signup
+    e = T(spark, sf, "events")
+    mask = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    return (
+        e.withColumn("mask", mask)
+        .filter(F.col("mask").bitwiseAND(F.lit(10)) != 0)
+        .select("event_id", "mask")
+    )
+
+
+@q(
+    "tumbling_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type, count(*)::bigint AS n, round(sum(value), 2) AS v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark, sf):
+    # batch rendering of the streaming windowed agg (SURVEY §2.J); the
+    # streaming variant is streaming/incremental.py + pytest
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "v")
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)::bigint AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark, sf):
+    o = T(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@q(
+    "ls_json_lines",
+    """
+    SELECT to_json(struct_pack(event_id := event_id, event_type := event_type))::varchar AS json
+    FROM events
+    """,
+)
+def ls_json_lines_q(spark, sf):
+    # S7 JSON record writer (recordwriter.go:42-110)
+    e = T(spark, sf, "events")
+    return e.select(
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("json")
+    )
+
+
 # =========================================================================
 # registry accessors
 # =========================================================================
