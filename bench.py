@@ -106,7 +106,7 @@ def run_kernel(spark, n_urls: int) -> dict:
 
     from warchaeology_spark.frontier.politeness import politeness_topk
     from warchaeology_spark.frontier.seen import SeenState
-    from warchaeology_spark.functions.urls import canonicalize_url, surt_key
+    from warchaeology_spark.functions.urls import canonical_parts
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_hosts = 10_000
@@ -150,14 +150,15 @@ def run_kernel(spark, n_urls: int) -> dict:
     ).localCheckpoint(eager=True)
 
     t0 = time.monotonic()
-    cand = urls.select(
-        canonicalize_url(F.col("raw_url")).alias("url_canon"),
-        surt_key(F.col("raw_url")).alias("surt"),
-    ).filter(F.col("url_canon").isNotNull()).select(
-        "url_canon", "surt",
-        F.xxhash64("surt").alias("url_hash"),
-        F.regexp_extract("url_canon", r"^[a-z]+://([^/:]+)", 1).alias("host"),
-        F.lit(0).alias("depth"),
+    cand = (
+        urls.select(canonical_parts(F.col("raw_url")).alias("_cp"))
+        .select("_cp.url_canon", "_cp.surt", "_cp.host")
+        .filter(F.col("url_canon").isNotNull())
+        .select(
+            "url_canon", "surt", "host",
+            F.xxhash64("surt").alias("url_hash"),
+            F.lit(0).alias("depth"),
+        )
     )
     novel = seen_state.novel(cand)
     scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)

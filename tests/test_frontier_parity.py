@@ -67,6 +67,11 @@ def test_crawl_order_and_seen_parity(spark, fixture_dir, oracle_result):
     # per-round metrics agree too
     assert res.metrics == oracle_result.metrics
 
+    # per-partition lineage: shard counts sum to the round's scheduled count
+    for m, pm in zip(res.metrics, res.partition_metrics):
+        assert m["round"] == pm["round"]
+        assert sum(pm["scheduled_per_partition"].values()) == m["scheduled"]
+
 
 def test_bloom_off_equivalence(spark, fixture_dir, oracle_result):
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)

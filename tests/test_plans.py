@@ -91,10 +91,11 @@ def test_dedup_exchanges_bounded(fetch_records):
     from warchaeology_spark.operators.dedup import dedup_first_wins
 
     p = plan_of(dedup_first_wins(fetch_records))
-    # window + join-back share the digest hash partitioning; the plan must
-    # not cascade exchanges per operator (<=1 exchange per join input side)
+    # single window pass (first_value carries the RevisitRef) — exactly one
+    # hash exchange on digest, no join-back
     n_exchanges = p.count("Exchange hashpartitioning")
-    assert n_exchanges <= 4, p
+    assert n_exchanges <= 2, p
+    assert "Join" not in p, p
 
 
 def test_pricing_summary_partial_agg(spark):

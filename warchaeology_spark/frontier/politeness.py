@@ -42,25 +42,21 @@ def robots_gate(urls: DataFrame, robots: DataFrame) -> DataFrame:
     ``robots`` is tiny relative to the frontier -> broadcast join; the
     prefix test is a JVM ``startswith``. URLs with no rules pass.
     """
-    rules = robots.filter(~F.col("allow")).select(
-        F.col("host").alias("_rhost"), "path_pref"
+    # aggregate the (tiny) rule table to one prefix-array per host, then a
+    # broadcast equi-join + `exists` — no row multiplication, no collapse
+    # groupBy afterwards, one narrow broadcast join in the plan
+    rules = (
+        robots.filter(~F.col("allow"))
+        .groupBy(F.col("host").alias("_rhost"))
+        .agg(F.collect_list("path_pref").alias("_prefs"))
     )
-    path = F.regexp_extract(
-        F.col("url_canon"), r"^[a-z]+://[^/]+(/[^?#]*)", 1
-    )
-    joined = urls.join(
-        F.broadcast(rules),
-        (urls["host"] == rules["_rhost"])
-        & path.startswith(rules["path_pref"]),
-        "left",
-    )
-    return (
-        joined.withColumn("robots_denied", F.col("_rhost").isNotNull())
-        .drop("_rhost", "path_pref")
-        # a URL may match several prefixes -> collapse back to one row
-        .groupBy(*urls.columns)
-        .agg(F.max("robots_denied").alias("robots_denied"))
-    )
+    path = F.regexp_extract(F.col("url_canon"), r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    joined = urls.join(F.broadcast(rules), urls["host"] == rules["_rhost"], "left")
+    denied = F.when(
+        F.col("_prefs").isNotNull(),
+        F.exists("_prefs", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+    return joined.withColumn("robots_denied", denied).drop("_rhost", "_prefs")
 
 
 def with_budget(urls: DataFrame, politeness: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:

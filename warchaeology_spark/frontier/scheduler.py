@@ -49,7 +49,7 @@ from warchaeology_spark.frontier.checkpoint import SnapshotStore
 from warchaeology_spark.frontier.links import extract_outlinks
 from warchaeology_spark.frontier.politeness import politeness_topk, robots_gate
 from warchaeology_spark.frontier.seen import SeenState
-from warchaeology_spark.functions.urls import canonicalize_url, surt_key
+from warchaeology_spark.functions.urls import canonical_parts
 from warchaeology_spark.plans.ranks import global_sequence
 
 PENDING_COLS = ["surt", "url_canon", "url_hash", "host", "depth", "src_doc_id"]
@@ -82,15 +82,17 @@ class CrawlResult:
 
 
 def _canonicalized(df: DataFrame, url_col: str) -> DataFrame:
-    """Attach url_canon / surt / url_hash / host; drop non-crawlable rows."""
+    """Attach url_canon / surt / url_hash / host; drop non-crawlable rows.
+
+    One fused parse (canonical_parts) supplies all three string columns;
+    the hash is xxhash64 over the surt (the seen-set identity key).
+    """
     out = (
-        df.withColumn("url_canon", canonicalize_url(url_col))
-        .withColumn("surt", surt_key(url_col))
+        df.withColumn("_cp", canonical_parts(url_col))
+        .select("*", "_cp.url_canon", "_cp.surt", "_cp.host")
+        .drop("_cp")
         .filter(F.col("url_canon").isNotNull())
         .withColumn("url_hash", F.xxhash64("surt"))
-        .withColumn(
-            "host", F.regexp_extract("url_canon", r"^[a-z]+://([^/:]+)", 1)
-        )
     )
     return out
 

@@ -67,22 +67,19 @@ def dedup_first_wins(
     )
     df = df.withColumn("is_candidate", is_cand)
 
+    # ONE window pass: row_number gives the dup flag, and first_value over
+    # the same frame carries the RevisitRef fields — no join-back, a single
+    # exchange on digest (plan-asserted in tests/test_plans.py)
     w = Window.partitionBy("digest").orderBy("file", "offset")
-    cands = df.filter(F.col("is_candidate")).withColumn(
-        "_rn", F.row_number().over(w)
-    )
-    firsts = cands.filter(F.col("_rn") == 1).select(
-        F.col("digest").alias("_d"),
-        F.col("file").alias("ref_file"),
-        F.col("offset").alias("ref_offset"),
-        F.col("record_id").alias("ref_record_id"),
-        F.col("url").alias("ref_url"),
-        F.col("ts").alias("ref_ts"),
-    )
-    # join back on the digest hash partitioning the window already installed
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cands = df.filter(F.col("is_candidate"))
     annotated = (
-        cands.join(firsts, cands["digest"] == firsts["_d"], "left")
-        .drop("_d")
+        cands.withColumn("_rn", F.row_number().over(w))
+        .withColumn("ref_file", F.first("file").over(frame))
+        .withColumn("ref_offset", F.first("offset").over(frame))
+        .withColumn("ref_record_id", F.first("record_id").over(frame))
+        .withColumn("ref_url", F.first("url").over(frame))
+        .withColumn("ref_ts", F.first("ts").over(frame))
         .withColumn("is_dup", F.col("_rn") > 1)
         .drop("_rn")
     )

@@ -26,8 +26,9 @@ def global_sequence(
     d = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     d = d.sortWithinPartitions(*order_cols)
     d = d.withColumn("_pid", F.spark_partition_id())
-    # AQE may coalesce; persist so both passes see identical partitioning
-    d = d.persist()
+    # materialize so both passes (counts, mapInPandas) see identical
+    # partitioning even under AQE; localCheckpoint also truncates lineage
+    d = d.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
     offsets = {}
     acc = 0
