@@ -139,3 +139,42 @@ def test_hooks_skip_and_error():
 
     with _pytest.raises(RuntimeError):
         h2.filter_files(["x.warc"], "validate")
+
+
+def test_streaming_seen_filter(spark, tmp_path):
+    """Stateful streaming dedup: first occurrence wins across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from warchaeology_spark.streaming.seen_stream import streaming_seen_filter
+
+    src = str(tmp_path / "urls_in")
+    # two files -> two-ish micro-batches; hash 2 duplicated within a file,
+    # hash 5 duplicated across files
+    spark.createDataFrame(
+        [(2, "s2", "u2"), (2, "s2", "u2"), (5, "s5", "u5"), (7, "s7", "u7")],
+        "url_hash long, surt string, url_canon string",
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/a")
+    spark.createDataFrame(
+        [(5, "s5", "u5"), (9, "s9", "u9")],
+        "url_hash long, surt string, url_canon string",
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema("url_hash long, surt string, url_canon string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "urls_out")
+    q = (
+        streaming_seen_filter(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["url_hash"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [2, 5, 7, 9]  # each hash exactly once, dups dropped

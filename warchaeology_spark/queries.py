@@ -1126,6 +1126,52 @@ def pivot_event_types(spark, sf):
 
 
 @q(
+    "target_uri_substring",
+    """
+    SELECT doc_id, source FROM documents WHERE source LIKE '%src1%'
+    """,
+)
+def target_uri_substring(spark, sf):
+    # P7 ByTargetURI substring predicate (combinators.go:151-159)
+    d = T(spark, sf, "documents")
+    return d.filter(F.col("source").contains("src1")).select("doc_id", "source")
+
+
+@q(
+    "ls_end_to_end",
+    """
+    SELECT event_type,
+           CASE WHEN length(props) > 12 THEN substring(props, 1, 11) || '…'
+                ELSE props END AS props_crop,
+           lpad(event_id::varchar, 11, ' ') AS id_pad
+    FROM (
+      SELECT event_type, props, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events WHERE value > 2 AND event_type != 'error') t
+    WHERE rn <= 4
+    """,
+)
+def ls_end_to_end(spark, sf):
+    # the full `warc ls` pipeline in one query: filter -> per-group limit ->
+    # crop/pad projection (compose semantics, M1 slice)
+    from warchaeology_spark.functions.strings import crop_string
+
+    e = T(spark, sf, "events").filter(
+        (F.col("value") > 2) & (F.col("event_type") != "error")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(
+            "event_type",
+            crop_string(F.col("props"), 12).alias("props_crop"),
+            F.lpad(F.col("event_id").cast("string"), 11, " ").alias("id_pad"),
+        )
+    )
+
+
+@q(
     "type_bitmask_filter",
     """
     SELECT event_id, mask FROM (
