@@ -159,7 +159,15 @@ def run_crawl(
         scheduled = politeness_topk(
             pending, politeness, config.default_budget, config.n_salts
         ).localCheckpoint(eager=True)
-        n_sched = scheduled.count()
+        # one action yields both the count and the per-partition lineage
+        part_rows = (
+            scheduled.groupBy(
+                F.pmod(F.col("url_hash"), F.lit(config.num_partitions)).cast("int").alias("pid")
+            )
+            .count()
+            .collect()
+        )
+        n_sched = sum(x["count"] for x in part_rows)
         if n_sched == 0:
             break
 
@@ -223,13 +231,6 @@ def run_crawl(
                 "robots_denied": n_denied,
                 "pending_after": n_pending,
             }
-        )
-        part_rows = (
-            scheduled.groupBy(
-                F.pmod(F.col("url_hash"), F.lit(config.num_partitions)).cast("int").alias("pid")
-            )
-            .count()
-            .collect()
         )
         partition_metrics.append(
             {"round": r, "scheduled_per_partition": {int(x["pid"]): x["count"] for x in part_rows}}
