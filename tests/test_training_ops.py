@@ -95,3 +95,23 @@ def test_media_strict_mode_raises(documents_spans):
     with pytest.raises(Exception) as ei:
         strict.limit(1).collect()
     assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    from warchaeology_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    for qid in range(10):
+        assert (qid, qid) in a  # self-match always in the probed cell
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall
+    # deterministic: same seed -> same result
+    a2 = {(r["query_id"], r["vec_id"])
+          for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()}
+    assert a == a2

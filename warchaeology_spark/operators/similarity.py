@@ -139,6 +139,73 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into n_lists
+    cells; each query probes its n_probe nearest centroids and exact-ranks
+    only those cells' vectors.
+
+    The index build (KMeans fit + cell assignment) is the amortized step —
+    at scale the assignments are a written column (Iceberg ``bucket`` on
+    cell_id) and only the probe join runs per query batch. Deterministic
+    via fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    va = vectors.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(va)
+    assigned = model.transform(va).drop("_v")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = vectors.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+
+    # each query scores all centroids (tiny cross join), keeps n_probe cells
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    qc = q.join(F.broadcast(cdf)).select(
+        query_id_col,
+        "_qvec",
+        "cell",
+        cosine(F.col("_qvec"), F.col("centroid")).alias("_csim"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("_csim").desc(), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, "_qvec", "cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def embedding_neardups(
     vectors: DataFrame,
     threshold: float = 0.98,

@@ -983,6 +983,17 @@ def ann_lsh_topk_q(spark, sf):
     return ann_lsh_topk(emb, queries, k=5)
 
 
+@q("ann_ivf_topk", None)  # approximate by design — rows-only; recall pytest'd
+def ann_ivf_topk_q(spark, sf):
+    from warchaeology_spark.operators.similarity import ivf_topk
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================
