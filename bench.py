@@ -131,18 +131,15 @@ def run_kernel(spark, n_urls: int) -> dict:
     ).select(
         F.xxhash64("surt").alias("url_hash"), "surt", F.lit("x").alias("url_canon")
     ).localCheckpoint(eager=True)
-    seen_state.seen = pre
-    seen_state.add(pre.limit(0))  # initialize bloom rows
-    # build the bloom from the pre-seen set (timed separately)
+    # build the bloom from the pre-seen set (timed separately). add() also
+    # unions `pre` into the (empty) seen table, so seen == pre afterwards;
+    # re-pin to the checkpointed table to truncate the union lineage.
     tb0 = time.monotonic()
-    seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
-    bloom_fresh = SeenState(
-        spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True
-    )
-    bloom_fresh.add(pre)
-    bloom_fresh.bloom = bloom_fresh.bloom.localCheckpoint(eager=True)
-    seen_state.bloom = bloom_fresh.bloom
+    seen_state.add(pre)
+    if not seen_state.broadcast_bloom:
+        seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
     bloom_build_sec = time.monotonic() - tb0
+    seen_state.seen = pre
 
     pol = spark.range(n_hosts).select(
         F.format_string("host%d.example.com", F.col("id")).alias("host"),

@@ -120,3 +120,26 @@ def test_offset_seek(fetch_records):
     f = fetch_records.filter(F.col("file") == "samsung-with-error.warc.gz")
     out = compose(f, offset=10 * 4096)
     assert out.count() == 43
+
+
+def test_every_spec_letter_projects(fetch_records):
+    # every letter _SPEC_RE accepts must project without KeyError
+    # (VERDICT r1 finding #1: M/r parsed but unimplemented)
+    one = fetch_records.limit(1)
+    all_letters = "abBeghikmMNrsSTV"
+    proj = cdx_projection(one, all_letters)
+    row = proj.collect()[0]
+    assert len(row) == len(all_letters)
+    # reference renders M and r as the literal '-' (recordwriter.go:299-311)
+    assert row["meta"] == "-"
+    assert row["redirect"] == "-"
+
+
+def test_width_without_alignment_crops_but_never_pads(fetch_records):
+    # padString (recordwriter.go:201-213): align==0 -> crop only, no pad.
+    one = fetch_records.limit(1)
+    padded = cdx_projection(one, "V+11T-8a100", padded=True).collect()[0]
+    assert len(padded["offset"]) == 11          # '+' right-aligned pad
+    assert len(padded["type"]) == 8             # '-' left-aligned pad
+    assert len(padded["url"]) <= 100            # width-only: cropped, unpadded
+    assert padded["url"] == padded["url"].strip()

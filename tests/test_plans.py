@@ -104,3 +104,13 @@ def test_pricing_summary_partial_agg(spark):
     p = plan_of(pricing_summary(spark, "/root/testdata/sf0.001"))
     # partial (map-side) aggregation before the exchange
     assert "partial_sum" in p or "partial_" in p
+
+
+def test_simhash_signature_stage_has_no_exchange(spark):
+    # scan-side simhash: per-row F.aggregate over the token array — the
+    # signature must be computable with ZERO shuffles (VERDICT r1 #6)
+    from warchaeology_spark.operators.textdedup import simhash_signatures
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(simhash_signatures(df))
+    assert "Exchange" not in p, p

@@ -1,0 +1,62 @@
+"""SeenState broadcast-bloom: per-round broadcast bytes must be
+proportional to the round DELTA (changed shards), never the full bitset
+set (VERDICT r1 finding #2), and membership must stay exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warchaeology_spark.frontier.seen import SeenState
+
+
+def _urls(spark, hashes):
+    return spark.createDataFrame(
+        [(h, f"surt{h}", f"http://u{h}/") for h in hashes],
+        "url_hash long, surt string, url_canon string",
+    )
+
+
+def test_broadcast_bytes_track_delta_not_total(spark):
+    st = SeenState(spark, num_partitions=8, expected_total=80_000, use_bloom=True)
+    shard_bytes = st.m_bits // 8
+
+    # round 1: keys spread over ALL 8 shards
+    st.add(_urls(spark, [i for i in range(64)]))
+    st.novel(_urls(spark, [999_001])).count()
+    assert st.last_broadcast_bytes == 8 * shard_bytes
+
+    # round 2: keys touch ONLY shard 0 (multiples of 8) -> 1-shard delta
+    st.add(_urls(spark, [8 * i for i in range(100, 140)]))
+    st.novel(_urls(spark, [999_002])).count()
+    assert st.last_broadcast_bytes == shard_bytes  # NOT 8 * shard_bytes
+
+    # membership stays exact across the delta chain
+    out = st.novel(_urls(spark, [3, 8 * 105, 999_003]))
+    got = {r["url_hash"] for r in out.collect()}
+    assert got == {999_003}
+
+
+def test_broadcast_chain_compacts(spark):
+    st = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    for r in range(12):
+        st.add(_urls(spark, [4 * r]))  # every round dirties shard 0 only
+        st.novel(_urls(spark, [999_100 + r])).count()
+    # stale shard-0 entries are compacted away: chain stays bounded
+    entries = sum(len(bc.value) for bc in st._bc_chain)
+    live = len({p for bc in st._bc_chain for p in bc.value})
+    assert entries <= 2 * max(live, 1) + 1
+    # and the compacted chain still answers correctly
+    got = {r["url_hash"] for r in st.novel(_urls(spark, [0, 44, 999_999])).collect()}
+    assert got == {999_999}
+
+
+def test_restore_seeds_driver_shards(spark):
+    st = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    st.add(_urls(spark, list(range(20))))
+    snapshot_bloom = st.bloom  # property: built from driver shards
+    snapshot_seen = st.seen.localCheckpoint(eager=True)
+
+    st2 = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    st2.restore(snapshot_seen, snapshot_bloom)
+    got = {r["url_hash"] for r in st2.novel(_urls(spark, [5, 15, 777])).collect()}
+    assert got == {777}

@@ -71,9 +71,18 @@ def test_ann_recall_vs_bruteforce(emb):
     # self-match must always be found (same bucket trivially)
     for qid in range(10):
         assert (qid, qid) in a
-    # report-style recall floor: LSH with 4 planes keeps a reasonable share
+    # multi-probe (own bucket + every Hamming-1 neighbor) recall floor
     recall = len(e & a) / len(e)
-    assert recall >= 0.2, recall
+    assert recall >= 0.6, recall
+    # multi-probe must dominate single-probe recall
+    single = ann_lsh_topk(emb, queries, k=5, n_planes=4, multiprobe=False)
+    s = {(r["query_id"], r["vec_id"]) for r in single.collect()}
+    assert len(e & a) >= len(e & s)
+    # every query must produce a full k rows under multi-probe at this scale
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in a)
+    assert all(per_q[q] == 5 for q in range(10)), per_q
 
 
 def test_media_pipeline_plumbing(documents_spans):
@@ -115,3 +124,63 @@ def test_ivf_recall_vs_bruteforce(emb):
     a2 = {(r["query_id"], r["vec_id"])
           for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()}
     assert a == a2
+
+
+def test_ngram_boundary_straddling_pair(spark):
+    # near-identical docs of 63 and 65 chars land in adjacent 64-char
+    # buckets; the overlapping-bucket probe must pair them (the hard
+    # bucket boundary missed this — VERDICT r1 finding #5)
+    from warchaeology_spark.operators.textdedup import ngram_jaccard_neardups
+
+    t63 = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt u"
+    t65 = t63 + " vv"
+    assert len(t63) // 64 != len(t65) // 64  # adjacent length buckets
+    df = spark.createDataFrame(
+        [(1, t63, "en"), (2, t65, "en")], "doc_id long, text string, lang string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_neardups(df, threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs
+    # and the same pair via the xxhash64 fast path, with identical jaccard
+    fast = ngram_jaccard_neardups(df, threshold=0.6, portable=False).collect()
+    slow = ngram_jaccard_neardups(df, threshold=0.6).collect()
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in fast} == {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in slow
+    }
+
+
+def test_minhash_fast_family_recovers_exact_dups(spark):
+    # the xxhash64 signature family must still band exact dups together
+    from warchaeology_spark.operators.textdedup import jaccard_pairs
+
+    base = [(i, f"the quick brown fox {i} jumps over the lazy dog " * 3) for i in range(20)]
+    dup = [(100 + i, t) for i, t in base[:5]]
+    df = spark.createDataFrame(base + dup, "doc_id long, text string")
+    fast_pairs = minhash_lsh_pairs(df, portable=False)
+    got = {(r["id_a"], r["id_b"]) for r in fast_pairs.collect()}
+    for i in range(5):
+        assert (i, 100 + i) in got
+    # verified (true-Jaccard) pairs agree with the portable family's
+    slow_v = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(df, minhash_lsh_pairs(df), threshold=0.9).collect()
+    }
+    fast_v = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(df, fast_pairs, threshold=0.9).collect()
+    }
+    assert slow_v == fast_v == {(i, 100 + i) for i in range(5)}
+
+
+def test_simhash_scan_side_matches_and_excludes_empty(spark):
+    from warchaeology_spark.operators.textdedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert set(rows) == {1, 4}  # empty/whitespace docs excluded (oracle rule)
+    assert all(0 <= v < (1 << 16) for v in rows.values())

@@ -219,7 +219,9 @@ def run_crawl(
         allowed = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)
         pending = pending.unionByName(allowed).localCheckpoint(eager=True)
         seen_state.seen = seen_state.seen.localCheckpoint(eager=True)
-        if config.use_bloom:
+        if config.use_bloom and not config.broadcast_bloom:
+            # sharded mode: truncate the cogroup lineage. Broadcast mode
+            # keeps its bits on the driver — nothing to checkpoint here.
             seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
 
         n_pending = pending.count()

@@ -78,30 +78,80 @@ class SeenState:
     expected_total: int = 100_000
     fpp: float = 0.01
     use_bloom: bool = True
-    # broadcast mode: bitsets are collected once per version and broadcast;
-    # membership is a scalar pandas UDF over ONLY the url_hash column — no
-    # extra shuffle and no wide rows through Arrow. Right whenever the
-    # total bloom fits executor memory (10^10 keys @1% fpp ~ 12 GB: still
-    # broadcastable on big-memory executors; flip to False for the
-    # cogroup-sharded path where each task sees only its shard).
+    # broadcast mode: the bitsets are AUTHORITATIVE ON THE DRIVER as numpy
+    # shards; add() pulls only the round's url_hash delta (8 B/URL via
+    # Arrow), sets bits locally, and novel() broadcasts only the shards
+    # that changed since the last broadcast (a chain of per-round delta
+    # broadcasts, compacted when stale entries exceed the live set). The
+    # full bitset set never round-trips driver->cluster->driver per round
+    # (VERDICT r1 finding #2: that was ~12 GB/round at the 10^10 design
+    # point). Membership is a scalar pandas UDF over ONLY the hash column.
+    # For blooms too large to broadcast at all, flip to False for the
+    # cogroup-sharded path where each task sees only its shard.
     broadcast_bloom: bool = True
 
     def __post_init__(self):
-        self._bloom_version = 0
-        self._bloom_bc = None
         self.m_bits, self.k = _bloom_params(
             self.expected_total // self.num_partitions, self.fpp
         )
         self.seen: DataFrame = self.spark.createDataFrame(
             [], "url_hash long, surt string, url_canon string"
         )
+        # broadcast-mode state (driver-authoritative)
+        self._shards: dict[int, np.ndarray] = {}
+        self._dirty: set[int] = set()
+        self._bc_chain: list = []
+        self.last_broadcast_bytes = 0
+        # sharded-mode state (cluster-authoritative DataFrame)
         empty = pd.DataFrame(
             {
                 "pid": pd.Series(range(self.num_partitions), dtype="int32"),
                 "bitset": [bytes(self.m_bits // 8)] * self.num_partitions,
             }
         )
-        self.bloom: DataFrame = self.spark.createDataFrame(empty)
+        self._bloom_df: DataFrame = self.spark.createDataFrame(empty)
+
+    # -- bloom as a DataFrame (checkpoint surface) ---------------------------
+    @property
+    def bloom(self) -> DataFrame:
+        """The bloom as a (pid, bitset) DataFrame.
+
+        Sharded mode: the live distributed table. Broadcast mode: built
+        from the driver shards on demand (checkpoint/inspection only — the
+        hot path never materializes it)."""
+        if not self.broadcast_bloom:
+            return self._bloom_df
+        zero = bytes(self.m_bits // 8)
+        pdf = pd.DataFrame(
+            {
+                "pid": pd.Series(range(self.num_partitions), dtype="int32"),
+                "bitset": [
+                    self._shards[p].tobytes() if p in self._shards else zero
+                    for p in range(self.num_partitions)
+                ],
+            }
+        )
+        return self.spark.createDataFrame(pdf)
+
+    @bloom.setter
+    def bloom(self, df: DataFrame) -> None:
+        if self.broadcast_bloom:
+            self._seed_shards_from(df)
+        else:
+            self._bloom_df = df
+
+    def _seed_shards_from(self, df: DataFrame) -> None:
+        """Load driver shards from a (pid, bitset) DataFrame (restore path —
+        one full collect at resume, never per round)."""
+        self._shards = {}
+        for r in df.collect():
+            bits = np.frombuffer(bytes(r["bitset"]), dtype=np.uint8).copy()
+            if bits.any():
+                self._shards[int(r["pid"])] = bits
+        for bc in self._bc_chain:
+            bc.unpersist()
+        self._bc_chain = []
+        self._dirty = set(self._shards)  # rebroadcast live shards lazily
 
     # -- helpers ------------------------------------------------------------
     def _pid(self, col):
@@ -111,37 +161,58 @@ class SeenState:
     def add(self, urls: DataFrame) -> None:
         """Insert (url_hash, surt, url_canon) rows; caller guarantees they
         are not already present (the round loop only adds survivors of
-        ``novel()``)."""
+        ``novel()``) and that any pending ``novel()`` result was
+        materialized first (the round loop localCheckpoints between the
+        two — see novel())."""
         rows = urls.select("url_hash", "surt", "url_canon")
         self.seen = self.seen.unionByName(rows)
-        if self.use_bloom:
-            m_bits, k = self.m_bits, self.k
+        if not self.use_bloom:
+            return
+        m_bits, k = self.m_bits, self.k
+        if self.broadcast_bloom:
+            # pull ONLY the hash column (8 B/URL, Arrow) — the round delta
+            hv = rows.select("url_hash").toPandas()["url_hash"].to_numpy()
+            if not len(hv):
+                return
+            pids = (hv % self.num_partitions + self.num_partitions) % self.num_partitions
+            for p in np.unique(pids):
+                shard = self._shards.get(int(p))
+                if shard is None:
+                    shard = np.zeros(m_bits // 8, dtype=np.uint8)
+                    self._shards[int(p)] = shard
+                _set_bits(shard, hv[pids == p], m_bits, k)
+                self._dirty.add(int(p))
+            return
 
-            def or_partition(key, bloom_pdf, new_pdf):
-                if len(bloom_pdf):
-                    bits = np.frombuffer(bloom_pdf["bitset"].iloc[0], dtype=np.uint8).copy()
-                else:  # partition had no bitset row (cannot happen after init)
-                    bits = np.zeros(m_bits // 8, dtype=np.uint8)
-                if len(new_pdf):
-                    _set_bits(bits, new_pdf["url_hash"].to_numpy(), m_bits, k)
-                return pd.DataFrame({"pid": [key[0]], "bitset": [bits.tobytes()]})
+        def or_partition(key, bloom_pdf, new_pdf):
+            if len(bloom_pdf):
+                bits = np.frombuffer(bloom_pdf["bitset"].iloc[0], dtype=np.uint8).copy()
+            else:  # partition had no bitset row (cannot happen after init)
+                bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            if len(new_pdf):
+                _set_bits(bits, new_pdf["url_hash"].to_numpy(), m_bits, k)
+            return pd.DataFrame({"pid": [key[0]], "bitset": [bits.tobytes()]})
 
-            new_hashed = rows.select(
-                self._pid(F.col("url_hash")).alias("pid"), "url_hash"
-            )
-            self.bloom = (
-                self.bloom.groupBy("pid")
-                .cogroup(new_hashed.groupBy("pid"))
-                .applyInPandas(or_partition, "pid int, bitset binary")
-            )
-            self._bloom_version += 1
-            self._bloom_bc = None  # invalidate the broadcast snapshot
+        new_hashed = rows.select(
+            self._pid(F.col("url_hash")).alias("pid"), "url_hash"
+        )
+        self._bloom_df = (
+            self._bloom_df.groupBy("pid")
+            .cogroup(new_hashed.groupBy("pid"))
+            .applyInPandas(or_partition, "pid int, bitset binary")
+        )
 
     def novel(self, cands: DataFrame) -> DataFrame:
         """Rows of ``cands`` (must carry url_hash, surt) NOT in the seen set.
 
         Bloom miss -> definitely new (no join). Bloom hit -> exact
         anti-join resolves false positives. Without bloom: plain anti-join.
+
+        Snapshot contract: the result captures the seen set AS OF THIS
+        CALL (broadcast chain is snapshotted here; the exact table is the
+        lazily-captured ``self.seen`` plan). Materialize the result before
+        the next ``add()`` — the scheduler's round loop localCheckpoints
+        eagerly between the two, which pins the snapshot.
         """
         if not self.use_bloom:
             return cands.join(self.seen.select("surt"), "surt", "left_anti")
@@ -160,7 +231,7 @@ class SeenState:
         cands_p = cands.withColumn("pid", self._pid(F.col("url_hash")))
         schema = ", ".join(f"{n} {t}" for n, t in cands_p.dtypes) + ", maybe_seen boolean"
         tested = (
-            self.bloom.groupBy("pid")
+            self._bloom_df.groupBy("pid")
             .cogroup(cands_p.groupBy("pid"))
             .applyInPandas(test_partition, schema)
         )
@@ -169,27 +240,51 @@ class SeenState:
         resolved_new = maybe.join(self.seen.select("surt"), "surt", "left_anti")
         return definitely_new.unionByName(resolved_new).drop("maybe_seen", "pid")
 
+    def _refresh_chain(self) -> None:
+        """Broadcast only the shards dirtied since the last broadcast; the
+        chain resolves latest-wins on the executors. Compact when stale
+        entries outnumber live shards 2:1 (bounds executor memory at ~3x
+        the live bitset set, amortized O(1) broadcasts per round)."""
+        if self._dirty:
+            delta = {p: self._shards[p].tobytes() for p in sorted(self._dirty)}
+            self._bc_chain.append(self.spark.sparkContext.broadcast(delta))
+            self.last_broadcast_bytes = sum(len(b) for b in delta.values())
+            self._dirty = set()
+        entries = sum(len(bc.value) for bc in self._bc_chain)
+        live = len({p for bc in self._bc_chain for p in bc.value})
+        if len(self._bc_chain) > 1 and entries > 2 * max(live, 1):
+            merged: dict[int, bytes] = {}
+            for bc in self._bc_chain:
+                merged.update(bc.value)
+            for bc in self._bc_chain:
+                bc.unpersist()
+            self._bc_chain = [self.spark.sparkContext.broadcast(merged)]
+
     def _novel_broadcast(self, cands: DataFrame) -> DataFrame:
-        """Broadcast-bloom membership: bitsets ship to executors once per
-        bloom version; the UDF touches only the hash column."""
+        """Broadcast-bloom membership: per-round DELTA broadcasts (changed
+        shards only); the UDF touches only the hash column."""
         import pandas as pd  # noqa: F811 (executor-side import)
 
-        if self._bloom_bc is None:
-            rows = self.bloom.collect()
-            snapshot = {int(r["pid"]): bytes(r["bitset"]) for r in rows}
-            self._bloom_bc = self.spark.sparkContext.broadcast(snapshot)
-        bc = self._bloom_bc
+        self._refresh_chain()
+        chain = tuple(self._bc_chain)  # snapshot: later add()s don't leak in
         m_bits, k, P = self.m_bits, self.k, self.num_partitions
 
         @F.pandas_udf("boolean")
         def bloom_maybe(h: pd.Series) -> pd.Series:
+            snapshot: dict[int, bytes] = {}
+            for bc in chain:
+                snapshot.update(bc.value)
             hv = h.to_numpy()
             pids = (hv % P + P) % P  # pmod
             out = np.zeros(len(hv), dtype=bool)
-            bitmap = {p: np.frombuffer(b, dtype=np.uint8) for p, b in bc.value.items()}
             for p in np.unique(pids):
+                blob = snapshot.get(int(p))
+                if blob is None:  # shard never written -> definitely new
+                    continue
                 sel = pids == p
-                out[sel] = _test_bits(bitmap[int(p)], hv[sel], m_bits, k)
+                out[sel] = _test_bits(
+                    np.frombuffer(blob, dtype=np.uint8), hv[sel], m_bits, k
+                )
             return pd.Series(out)
 
         tested = cands.withColumn("maybe_seen", bloom_maybe(F.col("url_hash")))
@@ -207,6 +302,4 @@ class SeenState:
     def restore(self, seen: DataFrame, bloom: DataFrame | None) -> None:
         self.seen = seen
         if bloom is not None:
-            self.bloom = bloom
-        self._bloom_bc = None
-        self._bloom_version += 1
+            self.bloom = bloom  # broadcast mode: seeds driver shards (setter)

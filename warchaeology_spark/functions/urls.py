@@ -68,9 +68,11 @@ def url_parts(url: Column | str) -> Column:
     path = F.regexp_extract(u, _PATH_RE, 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, _QUERY_RE, 1)
-    query = F.array_join(
-        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != F.lit(""))), "&"
-    )
+    # sort_array/array_remove, NOT array_sort/filter-with-lambda: lambda
+    # higher-order functions are CodegenFallback, and a fallback expression
+    # drags its whole subtree into interpreted eval at every reference —
+    # this line is embedded in canon+surt+filter copies on the hot path.
+    query = F.array_join(F.sort_array(F.array_remove(F.split(query, "&"), "")), "&")
     return F.struct(
         scheme.alias("scheme"),
         host.alias("host"),
@@ -161,7 +163,9 @@ _PD_SPLIT = (
 
 def _canonicalize_pd(s: pd.Series) -> pd.Series:
     """Vectorized canonicalization of a string Series (shared by UDFs)."""
-    t = s.fillna("").str.strip()
+    # strip ASCII space ONLY — Spark's trim() semantics; Python's default
+    # strip() also eats \x1c-\x1f etc. and would diverge from the JVM path
+    t = s.fillna("").str.strip(" ")
     # WHATWG leniency: backslashes in the authority/path act as slashes
     t = t.str.replace("\\", "/", regex=False)
     has_scheme = t.str.match(_SCHEME_RE)
@@ -273,7 +277,7 @@ def canonicalize_py(url: str | None) -> tuple[str, str, str] | None:
         return None
     import re as _re
 
-    t = url.strip()
+    t = url.strip(" ")  # ASCII space only = Spark trim() semantics
     if t.startswith("//"):
         t = "http:" + t
     elif not _re.match(_SCHEME_RE, t):

@@ -165,7 +165,11 @@ _FIELD_EXPRS = {
     "S": (lambda: F.col("size").cast("string"), "size"),
     "T": (lambda: F.col("record_type"), "type"),
     "V": (lambda: F.col("offset").cast("string"), "offset"),
-    # M (wacz metadata), N (surt) exist in the letter set; N maps to our surt
+    # The reference's text writer renders M, N and r as the literal "-"
+    # placeholder (recordwriter.go:299-311); we keep M and r faithful to
+    # that, and enrich N to the SURT key (the letter's documented intent).
+    "M": (lambda: F.lit("-"), "meta"),
+    "r": (lambda: F.lit("-"), "redirect"),
     "N": (lambda: None, "surt"),  # filled lazily to avoid circular import
 }
 
@@ -192,10 +196,12 @@ def cdx_projection(df: DataFrame, spec: str = DEFAULT_FORMAT, padded: bool = Fal
 
     padded=False returns typed/cropped columns (the analytics surface);
     padded=True applies the reference's fixed-width text alignment
-    (recordwriter.go:201-224: crop to width incl. ellipsis, then pad;
-    '+' right-aligns, '-' and default left-align).
+    (recordwriter.go:201-224: crop to width incl. ellipsis, then pad —
+    '+' right-aligns, '-' left-aligns, and a width WITHOUT an alignment
+    flag crops but does NOT pad, per padString's align==0 branch).
     """
     cols = []
+    seen_alias: dict[str, int] = {}
     for letter, align, width in parse_format_spec(spec):
         builder, alias = _FIELD_EXPRS[letter]
         if letter == "N":
@@ -206,9 +212,14 @@ def cdx_projection(df: DataFrame, spec: str = DEFAULT_FORMAT, padded: bool = Fal
             c = builder()
         if width:
             c = crop_string(c, width)
-            if padded:
-                c = F.lpad(c, width, " ") if align == "+" else F.rpad(c, width, " ")
-        cols.append(c.alias(alias))
+            if padded and align == "+":
+                c = F.lpad(c, width, " ")
+            elif padded and align == "-":
+                c = F.rpad(c, width, " ")
+        # repeated letters (e.g. 'MNr' defaults sharing '-') get unique aliases
+        n = seen_alias.get(alias, 0)
+        seen_alias[alias] = n + 1
+        cols.append(c.alias(alias if n == 0 else f"{alias}_{n}"))
     return df.select(*cols)
 
 

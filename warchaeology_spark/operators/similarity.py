@@ -117,13 +117,41 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: bool = True,
+    probe_radius: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    exact cosine re-ranks. Returns (query_id, vec_id, cos_sim, rank)."""
+    """Approximate top-k: candidates share one of the query's probe
+    buckets, exact cosine re-ranks. Returns (query_id, vec_id, cos_sim, rank).
+
+    ``multiprobe=True`` probes the query's own bucket PLUS every bucket
+    within Hamming distance ``probe_radius`` (flip up to that many sign
+    bits) — standard multi-probe LSH: a near neighbor that lands just
+    across one or two hyperplanes is still found. Probe count is
+    sum(C(n_planes, r) for r <= radius) per query — distinct bucket
+    values, so no candidate dedup is needed, and only the (small,
+    broadcast) query side fans out; the corpus still partitions by a
+    single bucket key, so the scale shape is unchanged. At production
+    plane counts (16-24) radius-2 probing is a few hundred probes against
+    2^n buckets — the classic recall/latency dial.
+    """
+    from itertools import combinations
+
     vb = hyperplane_buckets(vectors, n_planes, id_col, vec_col)
     qb = hyperplane_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col)), n_planes, query_id_col, vec_col
     ).select(query_id_col, F.col(vec_col).alias("_qvec"), "bucket")
+    if multiprobe:
+        masks = [0]
+        for r in range(1, probe_radius + 1):
+            masks += [
+                sum(1 << p for p in bits) for bits in combinations(range(n_planes), r)
+            ]
+        probe_set = F.array(
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+        )
+        qb = qb.select(
+            query_id_col, "_qvec", F.explode(probe_set).alias("bucket")
+        )
     scored = vb.join(F.broadcast(qb), "bucket").select(
         query_id_col,
         id_col,

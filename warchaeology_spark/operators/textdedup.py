@@ -91,21 +91,32 @@ LSH_BANDS = 4  # -> rows-per-band r = K / BANDS = 2
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    portable: bool = True,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}) — min over portable-hashed 2-gram shingles.
+    """(id, sig_0..sig_{k-1}) — min over hashed 2-gram shingles.
 
     Docs with fewer than 2 words have no shingles and are excluded (both
     engine and oracle apply the same rule).
+
+    ``portable=True`` (oracle-checkable): one md5 per shingle, k 60-bit hex
+    windows of it. ``portable=False`` (engine fast path): k seeded builtin
+    ``xxhash64`` evaluations per shingle — no hex round-trip, ~2-3x cheaper;
+    different hash family, so signatures are NOT comparable across modes.
     """
     w = words_of(F.col(text_col))
     sh = word_shingles(w, 2)
     out = docs.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
-    # one md5 per shingle, k windows of it (phash_window) — computed once
-    # into an array column, then k array_min's over element i
+    # portable: one md5 per shingle, k windows of it (phash_window) —
+    # computed once into an array column, then k array_min's over element i
     assert k <= 9, "k windows of one md5 cap at 9; chain a second md5 beyond"
 
     def windows_of(s: Column) -> Column:
+        if not portable:
+            return F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)])
         m = F.md5(s)
         return F.array(
             *[F.conv(F.substring(m, 1 + 2 * i, 15), 16, 10).cast("long") for i in range(k)]
@@ -130,14 +141,17 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band signature.
 
     Returns (id_a, id_b) with id_a < id_b, distinct. The band join is the
     only shuffle; key cardinality ~ #distinct band signatures.
+    ``portable=False`` uses the xxhash64 signature family (see
+    minhash_signatures) — same banding scheme, cheaper hashing.
     """
     r = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k)
+    sigs = minhash_signatures(docs, id_col, text_col, k, portable=portable)
     band_cols = []
     for b in range(bands):
         band_cols.append(
@@ -207,21 +221,38 @@ SIMHASH_BITS = 16  # kept SQL-portable; engine-internal variant could use 64
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, simhash) — per-bit majority vote over portable token hashes."""
-    toks = docs.select(
-        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("tok")
-    ).withColumn("h", phash(0, F.col("tok")))
-    aggs = []
-    for b in range(bits):
-        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}")
-        )
-    votes = toks.groupBy(id_col).agg(*aggs)
+    """(id, simhash) — per-bit majority vote over portable token hashes.
+
+    Computed entirely scan-side: one md5 per token (``F.transform``), then
+    a per-row ``F.aggregate`` folds the per-bit +/-1 votes into an array —
+    zero exchanges, versus the naive explode -> groupBy(doc_id) plan that
+    shuffles every token (plan-asserted in test_plans.py). Docs with no
+    tokens are excluded (same rule as the oracle's unnest).
+    """
+    w = words_of(F.col(text_col))
+    hs = F.transform(w, lambda t: phash(0, t))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    votes = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.array(
+            *[
+                F.get(acc, b)
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for b in range(bits)
+            ]
+        ),
+    )
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+        sim = sim + F.when(F.get(F.col("_votes"), b) > 0, F.lit(1 << b)).otherwise(0)
+    return (
+        docs.select(F.col(id_col), F.size(w).alias("_ntok"), votes.alias("_votes"))
+        .filter(F.col("_ntok") > 0)
+        .select(F.col(id_col), sim.alias("simhash"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -235,22 +266,42 @@ def ngram_jaccard_neardups(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.6,
+    portable: bool = True,
 ) -> DataFrame:
     """All-pairs Jaccard *within blocking keys* (never global all-pairs).
 
     Blocking bounds the quadratic term: pairs only form inside
-    (block_cols, n_chars//64) buckets.
+    (block_cols, length bucket) groups. Bucket boundaries OVERLAP: the
+    left side probes buckets {b-1, b, b+1} (exploded, so the join stays
+    an equi-join), the right side keeps its own bucket — a near-dup pair
+    straddling a 64-char boundary (63- vs 65-char docs) still pairs, and
+    each qualifying pair forms exactly once (probe set has distinct
+    values; id_a < id_b orients the pair).
+
+    ``portable=False``: shingles are xxhash64-compressed to int64 before
+    the set math — array_intersect/union over longs instead of strings.
+    Jaccard values are identical modulo 2^-64 collisions, so the same
+    oracle applies; at 100 TB this is the difference between shuffling
+    shingle text and shuffling 8-byte keys.
     """
+    shingle_strs = F.array_distinct(word_shingles(words_of(F.col(text_col)), 2))
+    shingles = (
+        shingle_strs if portable
+        else F.array_distinct(F.transform(shingle_strs, lambda s: F.xxhash64(s)))
+    )
     sh = docs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         (F.length(text_col) / 64).cast("long").alias("len_bucket"),
-        F.array_distinct(word_shingles(words_of(F.col(text_col)), 2)).alias("sh"),
+        shingles.alias("sh"),
     ).filter(F.size("sh") > 0)
-    a = sh.alias("a")
+    a = sh.select(
+        "*", F.explode(F.array(F.col("len_bucket") - 1, F.col("len_bucket"),
+                               F.col("len_bucket") + 1)).alias("probe_bucket")
+    ).alias("a")
     b = sh.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
-        F.col("a.len_bucket") == F.col("b.len_bucket")
+        F.col("a.probe_bucket") == F.col("b.len_bucket")
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

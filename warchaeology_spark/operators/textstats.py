@@ -66,7 +66,12 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Winnowing-lite document fingerprint: min portable-hash over word
     k-gram windows of the normalized text — robust to small edits at the
-    ends, cheap, and oracle-reproducible."""
+    ends, cheap, and oracle-reproducible.
+
+    Docs with fewer than k words yield NULL: a gram needs k words, and the
+    engine's concat_ws would otherwise silently skip the NULLs from
+    out-of-range element_at while SQL's ``||`` NULL-propagates — gating on
+    size(w) >= k keeps engine and oracle identical on short documents."""
     w = words_of(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1)))
     grams = F.transform(
@@ -77,6 +82,6 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFram
     )
     return docs.withColumn(
         "fingerprint",
-        F.when(F.size(w) > 0, F.array_min(F.transform(grams, lambda g: phash(7, g))))
+        F.when(F.size(w) >= k, F.array_min(F.transform(grams, lambda g: phash(7, g))))
         .otherwise(F.lit(None).cast("long")),
     )

@@ -884,12 +884,49 @@ def simhash_signatures_q(spark, sf):
              round(len(list_intersect(a.sh, b.sh))::double
                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
       FROM s a JOIN s b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) t
+        ON a.lang = b.lang AND abs(a.len_bucket - b.len_bucket) <= 1
+       AND a.doc_id < b.doc_id) t
     WHERE jaccard >= 0.6
     """,
 )
 def ngram_jaccard_pairs_q(spark, sf):
     return ngram_jaccard_neardups(T(spark, sf, "documents"), threshold=0.6)
+
+
+@q(
+    "ngram_jaccard_pairs_fast",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, (length(text) // 64) AS len_bucket,
+             list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+      FROM (SELECT doc_id, lang, text,
+                   list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+            FROM documents)
+      WHERE len(ws) >= 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))::double
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM s a JOIN s b
+        ON a.lang = b.lang AND abs(a.len_bucket - b.len_bucket) <= 1
+       AND a.doc_id < b.doc_id) t
+    WHERE jaccard >= 0.6
+    """,
+)
+def ngram_jaccard_pairs_fast_q(spark, sf):
+    # engine fast path: shingles xxhash64-compressed to int64 before the
+    # set math. Jaccard over the hashed sets equals Jaccard over the string
+    # sets (modulo 2^-64 collisions), so the SAME string-shingle oracle
+    # verifies it — the value-hash match is the collision-freeness check.
+    return ngram_jaccard_neardups(T(spark, sf, "documents"), threshold=0.6, portable=False)
+
+
+@q("minhash_lsh_pairs_fast", None)
+def minhash_lsh_pairs_fast_q(spark, sf):
+    # xxhash64 signature family: not DuckDB-reproducible (no oracle);
+    # pinned by pytest (verified-pair overlap vs the portable family).
+    return minhash_lsh_pairs(T(spark, sf, "documents"), portable=False)
 
 
 # =========================================================================
@@ -1064,7 +1101,7 @@ def quality_score_q(spark, sf):
     "doc_fingerprint",
     """
     SELECT doc_id,
-           CASE WHEN len(ws) > 0 THEN
+           CASE WHEN len(ws) >= 4 THEN
              list_min(list_transform(
                list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
@@ -1265,6 +1302,84 @@ def ls_json_lines_q(spark, sf):
     e = T(spark, sf, "events")
     return e.select(
         F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("json")
+    )
+
+
+@q(
+    "convert_warc_repair",
+    """
+    WITH r AS (
+      SELECT event_id AS rec_offset, props,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE '<urn:uuid:' || md5(event_id::varchar) || '>' END AS record_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  WHEN event_id % 5 = 0 THEN 'md5:deadbeef'
+                  ELSE 'md5:' || md5(props) END AS checksum,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  WHEN event_id % 11 = 0 THEN strlen(props) + 7
+                  ELSE strlen(props) END AS content_length
+      FROM events
+    ), h AS (
+      SELECT *, md5('synth.warc#' || rec_offset::varchar) AS idh,
+             (record_id IS NULL) AS id_missing,
+             (checksum IS NULL) AS dg_missing,
+             (checksum IS NOT NULL AND checksum != 'md5:' || md5(props)) AS dg_wrong,
+             (content_length IS NULL) AS cl_missing,
+             (content_length IS NOT NULL AND content_length != strlen(props)) AS cl_wrong
+      FROM r
+    )
+    SELECT rec_offset,
+           CASE WHEN id_missing THEN
+             'urn:uuid:' || substring(idh,1,8) || '-' || substring(idh,9,4) || '-'
+               || substring(idh,13,4) || '-' || substring(idh,17,4) || '-' || substring(idh,21,12)
+           ELSE regexp_replace(regexp_replace(record_id, '^<', ''), '>$', '') END AS record_id,
+           'md5:' || md5(props) AS checksum,
+           strlen(props)::bigint AS content_length,
+           array_to_string(list_filter([
+             CASE WHEN id_missing THEN 'added missing record id' END,
+             CASE WHEN dg_missing THEN 'added missing digest' END,
+             CASE WHEN dg_wrong THEN 'fixed digest' END,
+             CASE WHEN cl_missing THEN 'added missing content length' END,
+             CASE WHEN cl_wrong THEN 'fixed content length' END
+           ], x -> x IS NOT NULL), ',') AS repairs_str,
+           len(list_filter([
+             CASE WHEN id_missing THEN 1 END, CASE WHEN dg_missing THEN 1 END,
+             CASE WHEN dg_wrong THEN 1 END, CASE WHEN cl_missing THEN 1 END,
+             CASE WHEN cl_wrong THEN 1 END], x -> x IS NOT NULL))::bigint AS n_repairs
+    FROM h
+    """,
+)
+def convert_warc_repair_q(spark, sf):
+    # WARC->WARC convert+repair (warc.go:338-376; repair options
+    # warc_test.go:110-123) over a record frame synthesized from `events`
+    # with deterministic defects: missing/angle-wrapped record ids,
+    # missing/corrupt digests, missing/wrong content lengths.
+    from warchaeology_spark.operators.convert import convert_warc_repair
+
+    e = T(spark, sf, "events")
+    eid = F.col("event_id")
+    rec = e.select(
+        F.lit("synth.warc").alias("file"),
+        eid.alias("offset"),
+        F.when(eid % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("<urn:uuid:"), F.md5(eid.cast("string")), F.lit(">"))
+        ).alias("record_id"),
+        F.when(eid % 3 == 0, F.lit(None).cast("string"))
+        .when(eid % 5 == 0, F.lit("md5:deadbeef"))
+        .otherwise(F.concat(F.lit("md5:"), F.md5("props"))).alias("checksum"),
+        F.when(eid % 13 == 0, F.lit(None).cast("long"))
+        .when(eid % 11 == 0, F.octet_length("props").cast("long") + 7)
+        .otherwise(F.octet_length("props").cast("long")).alias("content_length"),
+        F.col("props").alias("payload"),
+    )
+    out = convert_warc_repair(rec, digest_algo="md5")
+    return out.select(
+        F.col("offset").alias("rec_offset"),
+        "record_id",
+        "checksum",
+        "content_length",
+        F.array_join("repairs", ",").alias("repairs_str"),
+        F.size("repairs").cast("long").alias("n_repairs"),
     )
 
 
