@@ -11,9 +11,12 @@ Usage (cluster):
       --conf spark.sql.adaptive.enabled=true \\
       --py-files dist/warchaeology_spark.zip \\
       jobs/run_crawl_job.py \\
-      --documents s3://bucket/docs --seeds s3://bucket/seeds.parquet \\
-      --robots s3://bucket/robots.parquet --politeness s3://bucket/politeness.parquet \\
-      --store s3://bucket/crawl-state --rounds 10 --resume
+      --documents s3a://bucket/docs --seeds s3a://bucket/seeds.parquet \\
+      --robots s3a://bucket/robots.parquet --politeness s3a://bucket/politeness.parquet \\
+      --store s3a://bucket/crawl-state --rounds 10 --resume
+
+The snapshot store routes manifest IO through the Hadoop FileSystem of the
+store root's scheme, so s3a:// / hdfs:// state roots work end-to-end.
 
 Local smoke:
 

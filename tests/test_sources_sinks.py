@@ -178,3 +178,19 @@ def test_streaming_seen_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["url_hash"] for r in spark.read.parquet(out_dir).collect())
     assert got == [2, 5, 7, 9]  # each hash exactly once, dups dropped
+
+
+def test_batch_replay_is_idempotent(spark, fetch_records, tmp_path):
+    # a foreachBatch retry re-runs with the SAME batch_id: the dynamic
+    # partition overwrite must not duplicate that batch's rows
+    from warchaeology_spark.operators.validate import per_file_stats
+    from warchaeology_spark.streaming.incremental import write_batch_stats
+
+    results = str(tmp_path / "res")
+    stats = per_file_stats(fetch_records)
+    write_batch_stats(stats, 0, results)
+    write_batch_stats(stats, 1, results)
+    write_batch_stats(stats, 1, results)  # replay of batch 1
+    res = spark.read.parquet(results)
+    assert res.filter("batch_id = 1").count() == stats.count()
+    assert res.count() == 2 * stats.count()

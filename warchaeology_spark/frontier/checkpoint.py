@@ -15,7 +15,15 @@ docs/ICEBERG.md):
   1. data files land under data/v{N}/{table}/ (never rewritten),
   2. a manifest JSON naming every table's data path + row count + the
      round's metrics is written to a temp name,
-  3. os.rename() to snapshots/{N:08d}.json — the atomic commit point.
+  3. rename to snapshots/{N:08d}.json — the commit point.
+
+ALL manifest/version IO goes through the Hadoop FileSystem API resolved
+from the store root's scheme, so `--store hdfs://...` or `s3a://...` works
+the same as a local path (the parquet data writes already did; previously
+the manifests used os.* and silently landed on the driver's local disk for
+remote roots). Atomicity: rename is atomic on HDFS/posix; on S3A it is
+copy+delete — still safe here because the driver is the only manifest
+writer and readers key on the fully-written final name.
 
 A reader only ever sees the latest fully-renamed manifest, so a crawl
 killed mid-round resumes from the previous committed round with no torn
@@ -26,8 +34,6 @@ what keeps round N+1's plan O(1) instead of O(N).
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,14 +41,41 @@ from pyspark.sql import DataFrame, SparkSession
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.root = root.rstrip("/")
+        self._Path = spark._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(self._Path(f"{self.root}/snapshots"))
+        self._fs.mkdirs(self._Path(f"{self.root}/data"))
+
+    # -- hadoop-fs helpers ----------------------------------------------------
+    def _read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+            return data.decode("utf-8")
+        finally:
+            stream.close()
+
+    def _write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
 
     # -- versions -----------------------------------------------------------
     def versions(self) -> list[int]:
-        snaps = os.listdir(os.path.join(self.root, "snapshots"))
-        return sorted(int(f.split(".")[0]) for f in snaps if f.endswith(".json"))
+        snaps = self._Path(f"{self.root}/snapshots")
+        out = []
+        for st in self._fs.listStatus(snaps):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                out.append(int(name.split(".")[0]))
+        return sorted(out)
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -52,21 +85,21 @@ class SnapshotStore:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError("no committed snapshot")
-        with open(os.path.join(self.root, "snapshots", f"{v:08d}.json")) as f:
-            return json.load(f)
+        return json.loads(self._read_text(f"{self.root}/snapshots/{v:08d}.json"))
 
     # -- commit -------------------------------------------------------------
     def commit(self, tables: dict[str, DataFrame], meta: dict) -> int:
         v = (self.latest_version() or 0) + 1
         entry = {"version": v, "meta": meta, "tables": {}}
         for name, df in tables.items():
-            path = os.path.join(self.root, "data", f"v{v}", name)
+            path = f"{self.root}/data/v{v}/{name}"
             df.write.mode("overwrite").parquet(path)
             entry["tables"][name] = {"path": path}
-        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "snapshots"), suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
-        os.rename(tmp, os.path.join(self.root, "snapshots", f"{v:08d}.json"))
+        tmp = f"{self.root}/snapshots/.tmp-{v:08d}.json"
+        final = f"{self.root}/snapshots/{v:08d}.json"
+        self._write_text(tmp, json.dumps(entry))
+        if not self._fs.rename(self._Path(tmp), self._Path(final)):
+            raise IOError(f"snapshot commit rename failed: {tmp} -> {final}")
         return v
 
     # -- read ---------------------------------------------------------------

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JVM flag hook for experiments (e.g. SPARK_GRAFT_JAVA_OPTS=
+        # -XX:+UseParallelGC). A/B on the 16M-URL kernel showed the GC
+        # choice inside run-to-run co-tenant noise, so the default stays
+        # Spark's own.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
