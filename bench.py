@@ -109,7 +109,7 @@ def run_kernel(spark, n_urls: int) -> dict:
 
     from warchaeology_spark.frontier.politeness import politeness_topk
     from warchaeology_spark.frontier.seen import SeenState
-    from warchaeology_spark.functions.urls import canonical_parts
+    from warchaeology_spark.functions.urls import canonicalize_url, parts_from_canon
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_hosts = 10_000
@@ -150,21 +150,27 @@ def run_kernel(spark, n_urls: int) -> dict:
     ).localCheckpoint(eager=True)
 
     t0 = time.monotonic()
-    cand = (
-        urls.select(canonical_parts(F.col("raw_url")).alias("_cp"))
-        .select("_cp.url_canon", "_cp.surt", "_cp.host")
+    # Two-step parse. Step 1 computes ONLY url_canon (the one regex-chain
+    # tree + its filter copy) and materializes it — the pending-table
+    # write a real round performs, and the boundary Catalyst cannot inline
+    # through (without it the parse re-evaluates for every consumer
+    # expression and both union branches of novel()). Step 2 derives
+    # surt/host/url_hash from the clean canonical string with byte-scan
+    # intrinsics (parts_from_canon — parity-tested vs canonical_parts).
+    canon_step = (
+        urls.select(canonicalize_url(F.col("raw_url")).alias("url_canon"))
         .filter(F.col("url_canon").isNotNull())
-        .select(
-            "url_canon", "surt", "host",
-            F.xxhash64("surt").alias("url_hash"),
-            F.lit(0).alias("depth"),
-        )
-        # materialize the candidate set ONCE (timed — it IS the pending-
-        # table write a real round performs). Catalyst inlines column
-        # expressions into every consumer, so without this boundary the
-        # parse re-evaluates for the bloom branch, the anti-join branch
-        # and the union (measured 225s -> 196s at 16 cores, 16M URLs).
         .localCheckpoint(eager=True)
+    )
+    d = parts_from_canon(F.col("url_canon"))
+    cand = canon_step.select(
+        "url_canon",
+        d["surt"].alias("surt"),
+        d["host"].alias("host"),
+    ).select(
+        "url_canon", "surt", "host",
+        F.xxhash64("surt").alias("url_hash"),
+        F.lit(0).alias("depth"),
     )
     novel = seen_state.novel(cand)
     scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)

@@ -58,3 +58,22 @@ def test_three_way_canonicalization_agreement(spark, batch):
         assert r["canon"] == (py[0] if py else None), repr(r["url"])
         assert r["surt"] == (py[1] if py else None), repr(r["url"])
         assert r["lenient"] == r["canon"], repr(r["url"])
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(urlish(), min_size=100, max_size=100))
+def test_parts_from_canon_matches_canonical_parts(spark, batch):
+    # two-step parse parity: deriving surt/host from the canonical string
+    # must equal the direct canonical_parts derivation from the raw URL
+    from warchaeology_spark.functions.urls import canonical_parts, parts_from_canon
+
+    df = spark.createDataFrame([(u,) for u in batch], "url string")
+    rows = (
+        df.select(canonical_parts(F.col("url")).alias("cp"))
+        .filter(F.col("cp.url_canon").isNotNull())
+        .select("cp", parts_from_canon(F.col("cp.url_canon")).alias("d"))
+        .collect()
+    )
+    for r in rows:
+        assert r["d"]["surt"] == r["cp"]["surt"], r
+        assert r["d"]["host"] == r["cp"]["host"], r

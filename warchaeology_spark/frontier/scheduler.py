@@ -49,7 +49,7 @@ from warchaeology_spark.frontier.checkpoint import SnapshotStore
 from warchaeology_spark.frontier.links import extract_outlinks
 from warchaeology_spark.frontier.politeness import politeness_topk, robots_gate
 from warchaeology_spark.frontier.seen import SeenState
-from warchaeology_spark.functions.urls import canonical_parts
+from warchaeology_spark.functions.urls import canonical_parts, surt_key
 from warchaeology_spark.plans.ranks import global_sequence
 
 PENDING_COLS = ["surt", "url_canon", "url_hash", "host", "depth", "src_doc_id"]
@@ -190,18 +190,30 @@ def run_crawl(
             ),
             "src_url",
         )
-        cands = _canonicalized(links, "raw_url")
+        # Two-step canonicalization around the dedup shuffle: the map side
+        # computes ONLY the surt grouping key (one parse tree + its filter
+        # copy — Catalyst inlines column expressions into every consumer,
+        # so each extra derived column would re-run the full parse per
+        # row); the winner's url_canon/host are derived AFTER the shuffle,
+        # on the deduped survivors only. Same winner row, same outputs:
+        # the min_by order tuple is unchanged, and url_canon/host are pure
+        # functions of the winning raw_url.
+        cands = links.withColumn("surt", surt_key(F.col("raw_url"))).filter(
+            F.col("surt").isNotNull()
+        )
         # same-round first-wins per surt: min over the discovery total order
-        discovered = cands.groupBy("surt").agg(
+        winners = cands.groupBy("surt").agg(
             F.min_by(
-                F.struct("url_canon", "url_hash", "host", "src_depth", "src_doc_id"),
+                F.struct("raw_url", "src_depth", "src_doc_id"),
                 F.struct("src_depth", "src_url", "span_offset", "link_idx"),
             ).alias("w")
-        ).select(
+        )
+        wcp = canonical_parts(F.col("w.raw_url"))
+        discovered = winners.select(
             "surt",
-            F.col("w.url_canon").alias("url_canon"),
-            F.col("w.url_hash").alias("url_hash"),
-            F.col("w.host").alias("host"),
+            wcp["url_canon"].alias("url_canon"),
+            F.xxhash64("surt").alias("url_hash"),
+            wcp["host"].alias("host"),
             (F.col("w.src_depth") + 1).alias("depth"),
             F.col("w.src_doc_id").alias("src_doc_id"),
         )

@@ -307,3 +307,32 @@ def canonicalize_py(url: str | None) -> tuple[str, str, str] | None:
     canon = f"{scheme}://{host}{portpart}{path}{qpart}"
     surt = ",".join(reversed(host.split("."))) + portpart + ")" + path + qpart
     return canon, surt, host
+
+
+def parts_from_canon(canon: Column | str) -> Column:
+    """Struct<surt, host> derived from an ALREADY-CANONICAL url.
+
+    ``url_canon`` is clean by construction — ``scheme://host[:port]path
+    [?query]`` with a lowercase dot-trimmed host, path always starting
+    with ``/`` — so SURT and host fall out of byte-scan intrinsics
+    (substring_index/instr), no regexes. This is the second stage of the
+    two-step frontier parse: stage 1 materializes ``url_canon`` once
+    (checkpoint/shuffle boundary), stage 2 derives the rest cheaply, so
+    the expensive raw-URL parse runs ONCE per row instead of once per
+    consumer expression (Catalyst inlines column expressions into every
+    consumer; see BENCH/BASELINE.md round-2 notes).
+
+    Parity contract (tested): for any raw URL,
+    ``parts_from_canon(canonicalize_url(u))`` equals ``canonical_parts(u)``
+    on the surt and host fields.
+    """
+    c = F.col(canon) if isinstance(canon, str) else canon
+    after = F.substring(c, F.instr(c, "://") + 3, 1 << 30)
+    hostport = F.substring_index(after, "/", 1)  # path always starts with '/'
+    host = F.substring_index(hostport, ":", 1)
+    portpart = F.substring(hostport, F.length(host) + 1, 1 << 30)  # ':port' or ''
+    pathq = F.substring(after, F.length(hostport) + 1, 1 << 30)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), portpart, F.lit(")"), pathq
+    )
+    return F.struct(surt.alias("surt"), host.alias("host"))
