@@ -184,3 +184,29 @@ def test_simhash_scan_side_matches_and_excludes_empty(spark):
     rows = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
     assert set(rows) == {1, 4}  # empty/whitespace docs excluded (oracle rule)
     assert all(0 <= v < (1 << 16) for v in rows.values())
+
+
+def test_ivf_persisted_index_matches_inline(emb, spark, tmp_path):
+    # build-once/serve-many: the persisted IVF index must return the same
+    # result as the inline fit (same seed, same params), with no KMeans
+    # fit at serve time
+    from warchaeology_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()
+    }
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_lists=8)
+    served = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_from_index(spark, idx, queries, k=5, n_probe=3).collect()
+    }
+    assert served == inline

@@ -234,6 +234,79 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: KMeans centroids + per-vector cell
+    assignments, parquet at ``path`` (``{path}/centroids``,
+    ``{path}/assignments`` partitioned by cell).
+
+    This is the amortized step of ivf_topk made explicit: build once,
+    serve many query batches. At scale the assignments table is Iceberg-
+    bucketed on cell_id so a probe touches only its cells' files; here
+    parquet ``partitionBy('cell')`` gives the same pruning (the probe
+    join's cell filter prunes partitions at scan time).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    va = vectors.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="cell").fit(va)
+    assigned = model.transform(va).drop("_v")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    vectors.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (build_ivf_index): no
+    KMeans fit per query batch — probe-cell selection against the (tiny,
+    broadcast) centroid table, then exact cosine over only the probed
+    cells' partitions (partition-pruned scan)."""
+    cdf = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assignments")
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    qc = q.join(F.broadcast(cdf)).select(
+        query_id_col, "_qvec", "cell",
+        cosine(F.col("_qvec"), F.col("centroid")).alias("_csim"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, "_qvec", "cell")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        query_id_col, id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def embedding_neardups(
     vectors: DataFrame,
     threshold: float = 0.98,

@@ -49,8 +49,12 @@ def phash_window(c: Column, i: int) -> Column:
 
 
 def words_of(text: Column) -> Column:
-    """Lowercased whitespace tokens, empties dropped (portable)."""
-    return F.filter(F.split(F.lower(text), " "), lambda w: w != F.lit(""))
+    """Lowercased whitespace tokens, empties dropped (portable).
+
+    array_remove, not filter-with-lambda: lambda higher-order functions
+    are CodegenFallback and drag the whole containing expression into
+    interpreted eval (see BENCH/BASELINE.md round-2 notes)."""
+    return F.array_remove(F.split(F.lower(text), " "), "")
 
 
 def word_shingles(words: Column, n: int = 2) -> Column:
@@ -122,7 +126,14 @@ def minhash_signatures(
             *[F.conv(F.substring(m, 1 + 2 * i, 15), 16, 10).cast("long") for i in range(k)]
         )
 
-    out = out.withColumn("_hw", F.transform(F.col("sh"), windows_of))
+    # materialize (id, _hw) ONCE: the transform/shingle pipeline is a
+    # higher-order-function tree (interpreted), and every sig_i column
+    # would otherwise re-evaluate it per row (Catalyst inlines column
+    # expressions into each consumer). The signatures table is a real
+    # materialization point in production pipelines anyway.
+    out = out.withColumn("_hw", F.transform(F.col("sh"), windows_of)).select(
+        F.col(id_col), F.col("_hw")
+    ).localCheckpoint(eager=True)
 
     def min_at(i: int):
         # factory, not default-arg lambda (pyspark infers arity by signature)
@@ -132,7 +143,7 @@ def minhash_signatures(
         out = out.withColumn(
             f"sig_{i}", F.array_min(F.transform(F.col("_hw"), min_at(i)))
         )
-    return out.drop("sh", "_hw")
+    return out.drop("_hw")
 
 
 def minhash_lsh_pairs(
@@ -188,7 +199,7 @@ def jaccard_pairs(
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(word_shingles(words_of(F.col(text_col)), 2)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)  # HOF shingle tree: evaluate once, not per join side/ref
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -294,7 +305,10 @@ def ngram_jaccard_neardups(
         *[F.col(c) for c in block_cols],
         (F.length(text_col) / 64).cast("long").alias("len_bucket"),
         shingles.alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).localCheckpoint(eager=True)
+    # ^ evaluate the (interpreted HOF) shingle pipeline ONCE: both self-join
+    # sides, the probe explode, the size-ratio prune and the set math would
+    # otherwise each re-derive it per row
     a = sh.select(
         "*", F.explode(F.array(F.col("len_bucket") - 1, F.col("len_bucket"),
                                F.col("len_bucket") + 1)).alias("probe_bucket")
