@@ -244,6 +244,10 @@ def main():
         out["queries"] = qtimes
 
     out["frontier"] = run_frontier(spark)
+    # 1M keeps the in-bench kernel short; local[32] oversubscribes the 16
+    # physical cores (SMT) for this memory-bound stage, so bigger batches
+    # do not raise the 32-thread rate — the representative throughput
+    # numbers are the 4/16-core 16M ladder trials in BENCH/scaling.json.
     out["kernel"] = run_kernel(
         spark, int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "1000000"))
     )

@@ -154,6 +154,11 @@ def run_crawl(
         pending = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)
         pending = pending.localCheckpoint(eager=True)
 
+    # pending size is tracked arithmetically across rounds (one count here,
+    # then pending_after = pending - scheduled + allowed) — saves a driver
+    # action per round; at toy round sizes fixed per-round job cost
+    # dominates the driver throughput metric.
+    n_pending = pending.count()
     r = start_round
     while r < config.max_rounds:
         scheduled = politeness_topk(
@@ -236,7 +241,10 @@ def run_crawl(
             # keeps its bits on the driver — nothing to checkpoint here.
             seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
 
-        n_pending = pending.count()
+        # derived, not re-counted: pending' = pending - scheduled + allowed
+        # (the scheduled anti-join removes exactly n_sched rows — scheduled
+        # is a subset of pending by construction; allowed = novel - denied)
+        n_pending = n_pending - n_sched + (n_novel - n_denied)
         metrics.append(
             {
                 "round": r,
