@@ -75,6 +75,32 @@ def test_repaired_output_revalidates_clean(spark):
     assert a == b
 
 
+def test_foreign_digest_encodings_are_not_repairs(spark):
+    # a genuinely-correct checksum stored in gowarc's sha1:BASE32 form or
+    # as uppercase hex must not inflate repair_count (reference ErrorCount
+    # counts real defects, not encoding differences)
+    import base64
+
+    def b32(s: str) -> str:
+        return "sha1:" + base64.b32encode(hashlib.sha1(s.encode()).digest()).decode()
+
+    rows = [
+        ("f.warc", 0, "<urn:uuid:aaaa>", b32("p0"), 2, "p0"),                  # base32, correct
+        ("f.warc", 1, "<urn:uuid:bbbb>", sha1("p1").upper(), 2, "p1"),         # SHA1:HEX uppercase
+        ("f.warc", 2, "<urn:uuid:cccc>",
+         "sha1:" + base64.b32encode(hashlib.sha1(b"other").digest()).decode(),
+         2, "p2"),                                                             # base32, WRONG
+    ]
+    out = convert_warc_repair(spark.createDataFrame(rows, SCHEMA))
+    got = {r["offset"]: r["repairs"] for r in out.collect()}
+    assert got[0] == []
+    assert got[1] == []
+    assert got[2] == ["fixed digest"]
+    # output is always re-rendered in the engine's canonical form
+    for r in out.collect():
+        assert r["checksum"] == sha1(r["payload"])
+
+
 def test_repair_determinism_same_input_same_id(spark):
     df = spark.createDataFrame(_broken_rows(), SCHEMA)
     id1 = convert_warc_repair(df).filter("offset = 1").collect()[0]["record_id"]

@@ -122,6 +122,33 @@ def test_checkpoint_resume(spark, fixture_dir, oracle_result, tmp_path):
     assert engine_seen == set(oracle_result.seen)
 
 
+def test_torn_commit_tmp_manifest_is_harmless(spark, fixture_dir, oracle_result, tmp_path):
+    # a driver killed between manifest write and rename leaves a
+    # {v}.json.tmp behind; it must not break versions()/resume, and the
+    # next store init garbage-collects it
+    from warchaeology_spark.frontier.checkpoint import SnapshotStore
+
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap")
+    run_crawl(spark, docs, seeds, robots, pol,
+              CrawlConfig(max_rounds=2, store_root=root))
+    store = SnapshotStore(spark, root)
+    v = store.latest_version()
+    # simulate the torn commit: an in-flight temp for the NEXT version
+    store._write_text(f"{root}/snapshots/{v + 1:08d}.json.tmp", "{torn")
+    assert store.versions()[-1] == v  # filter ignores it even before GC
+    store2 = SnapshotStore(spark, root)  # init GCs the stray temp
+    assert store2.latest_version() == v
+    assert not store2._fs.exists(
+        store2._Path(f"{root}/snapshots/{v + 1:08d}.json.tmp")
+    )
+    resumed = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, store_root=root, resume=True),
+    )
+    assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
+
+
 def test_robots_gating_effective(spark, fixture_dir, oracle_result):
     # fixture guarantees one fully-disallowed host; it must never be fetched
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)

@@ -34,8 +34,13 @@ what keeps round N+1's plan O(1) instead of O(N).
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# a committed snapshot manifest is EXACTLY 8 digits + .json; anything else
+# under snapshots/ (in-flight temps, editor droppings) is not a commit
+_MANIFEST_RE = re.compile(r"\d{8}\.json")
 
 
 class SnapshotStore:
@@ -48,6 +53,18 @@ class SnapshotStore:
         )
         self._fs.mkdirs(self._Path(f"{self.root}/snapshots"))
         self._fs.mkdirs(self._Path(f"{self.root}/data"))
+        self._gc_tmp_manifests()
+
+    def _gc_tmp_manifests(self) -> None:
+        """Remove in-flight temp manifests left by a driver killed between
+        write and rename. Safe: the commit point is the rename to the final
+        8-digit name, so a *.json.tmp file is by definition uncommitted, and
+        this store is single-writer (the driver)."""
+        snaps = self._Path(f"{self.root}/snapshots")
+        for st in self._fs.listStatus(snaps):
+            name = st.getPath().getName()
+            if name.endswith(".json.tmp"):
+                self._fs.delete(st.getPath(), False)
 
     # -- hadoop-fs helpers ----------------------------------------------------
     def _read_text(self, path: str) -> str:
@@ -73,7 +90,7 @@ class SnapshotStore:
         out = []
         for st in self._fs.listStatus(snaps):
             name = st.getPath().getName()
-            if name.endswith(".json"):
+            if _MANIFEST_RE.fullmatch(name):
                 out.append(int(name.split(".")[0]))
         return sorted(out)
 
@@ -95,7 +112,10 @@ class SnapshotStore:
             path = f"{self.root}/data/v{v}/{name}"
             df.write.mode("overwrite").parquet(path)
             entry["tables"][name] = {"path": path}
-        tmp = f"{self.root}/snapshots/.tmp-{v:08d}.json"
+        # temp name must NOT end in .json: if the driver dies between write
+        # and rename (or an S3A copy+delete rename half-fails), a leftover
+        # that matched the manifest filter would poison versions() forever
+        tmp = f"{self.root}/snapshots/{v:08d}.json.tmp"
         final = f"{self.root}/snapshots/{v:08d}.json"
         self._write_text(tmp, json.dumps(entry))
         if not self._fs.rename(self._Path(tmp), self._Path(final)):

@@ -273,10 +273,19 @@ def run_crawl(
                     "partition_metrics": partition_metrics,
                 },
             )
-            # re-read to truncate lineage at the snapshot boundary
+            # re-read to truncate lineage at the snapshot boundary. The
+            # bloom is NOT restored in broadcast mode: the driver shards
+            # are already authoritative and have no lineage to truncate —
+            # re-seeding them here would collect the full bitset set to
+            # the driver and mark every shard dirty (a full rebroadcast
+            # next round), reinstating exactly the per-round full-bloom
+            # round-trip the delta-broadcast chain eliminates. Shards are
+            # seeded from the store only on an actual resume.
             pending = store.load("pending")
+            reload_bloom = config.use_bloom and not config.broadcast_bloom
             seen_state.restore(
-                store.load("seen"), store.load("bloom") if config.use_bloom else None
+                store.load("seen"),
+                store.load("bloom") if reload_bloom else None,
             )
             fetch_logs = [store.load("fetch_log")]
         r += 1

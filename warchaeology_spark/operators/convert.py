@@ -44,6 +44,42 @@ def digest_of(payload: Column, algo: str = "sha1") -> Column:
     raise ValueError(f"unsupported digest algo: {algo}")
 
 
+# RFC 4648 base32 alphabet -> the 0-9A-V digit set F.conv expects
+_B32_SRC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+_B32_DST = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+
+
+def _b32_group_hex(val: Column, i: int) -> Column:
+    """Hex of 8 base32 chars (40 bits — inside conv's 64-bit range)."""
+    g = F.substring(val, i * 8 + 1, 8)
+    return F.lpad(F.lower(F.conv(F.translate(g, _B32_SRC, _B32_DST), 32, 16)), 10, "0")
+
+
+def normalize_checksum(ck: Column) -> Column:
+    """Canonical ``algo:lowercase-hex`` form of a stored WARC digest.
+
+    The WARC/gowarc convention writes sha1 digests as ``sha1:`` + 32 chars
+    of uppercase base32 (gowarc digest rendering); other producers write
+    upper- or lower-case hex. Validity must be judged on the decoded value,
+    not this engine's own rendering, or a correct foreign-encoded checksum
+    is miscounted as a 'fixed digest' repair. Handles: case-insensitive
+    algo label, uppercase hex, and sha1 base32 (32 chars [A-Z2-7] -> 40 hex
+    chars, decoded JVM-side: alphabet translate + four 40-bit conv groups).
+    A value with no ``algo:`` label is lowercased as-is (ambiguous — it can
+    never equal the labeled canonical form, so it still counts as a repair).
+    """
+    has_label = ck.contains(":")
+    algo = F.lower(F.substring_index(ck, ":", 1))
+    val = F.substring_index(ck, ":", -1)
+    is_b32_sha1 = (algo == "sha1") & val.rlike("^[A-Z2-7]{32}$")
+    hex_val = F.when(
+        is_b32_sha1, F.concat(*[_b32_group_hex(val, i) for i in range(4)])
+    ).otherwise(F.lower(val))
+    return F.when(~has_label, F.lower(ck)).otherwise(
+        F.concat(algo, F.lit(":"), hex_val)
+    )
+
+
 def deterministic_record_id(*key_cols: Column) -> Column:
     """uuid-shaped id from an md5 of the record's stable identity —
     the AddMissingRecordId repair, made deterministic."""
@@ -86,7 +122,10 @@ def convert_warc_repair(
 
     expected_digest = digest_of(p, digest_algo)
     digest_missing = ck.isNull() | (F.trim(ck) == "")
-    digest_wrong = ~digest_missing & (ck != expected_digest)
+    # compare on the normalized form: a correct checksum stored as base32
+    # or uppercase hex is NOT a repair (ADVICE r2; reference ErrorCount
+    # counts real defects, not encoding differences)
+    digest_wrong = ~digest_missing & (normalize_checksum(ck) != expected_digest)
 
     expected_cl = F.octet_length(p).cast("long")
     cl_missing = cl.isNull()
