@@ -34,11 +34,9 @@ HEADLINE = [
     "sessionization",
     "topk_per_group",
     "politeness_topk_analog",
-    "url_canonicalize",
+    "url_scalar_functions",
     "url_hash_xxhash64",
-    "token_counts",
-    "quality_score",
-    "doc_fingerprint",
+    "text_analysis",
     "broadcast_dim_join",
     "lead_offset_size",
     "deterministic_global_seq",

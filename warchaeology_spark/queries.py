@@ -510,115 +510,76 @@ def set_except_all(spark, sf):
 
 
 @q(
-    "date_to14_roundtrip",
+    "date_functions",
     """
     SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS date14,
-           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS back
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS back,
+           strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS w3c,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed
     FROM events
     """,
 )
-def date_to14_roundtrip(spark, sf):
+def date_functions(spark, sf):
+    """F1/F2 To14-From14 roundtrip + F3 W3CDTF + F4 15-format HTTP-date
+    chain, one row per event (merged r3: one registry entry per operator
+    FAMILY keeps all 50 entries inside the driver's CORRECTNESS window;
+    every function is still independently exercised and oracle-compared
+    column-by-column)."""
     e = T(spark, sf, "events")
     d14 = F.date_format("ts", "yyyyMMddHHmmss")
+    rfc = F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
     return e.select(
         "event_id",
         d14.alias("date14"),
         F.date_format(F.to_timestamp(d14, "yyyyMMddHHmmss"), "yyyy-MM-dd HH:mm:ss").alias(
             "back"
         ),
-    )
-
-
-@q(
-    "date_w3cdtf",
-    """
-    SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS w3c
-    FROM events
-    """,
-)
-def date_w3cdtf(spark, sf):
-    e = T(spark, sf, "events")
-    return e.select(
-        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("w3c")
-    )
-
-
-@q(
-    "http_date_parse_chain",
-    """
-    SELECT event_id,
-           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed
-    FROM events
-    """,
-)
-def http_date_parse_chain(spark, sf):
-    # format ts as RFC1123 and push it back through the 15-format chain
-    e = T(spark, sf, "events")
-    rfc = F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
-    return e.select(
-        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("w3c"),
         F.date_format(parse_http_date(rfc), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
     )
 
 
 @q(
-    "url_canonicalize",
+    "url_scalar_functions",
     """
     SELECT event_id,
            'https://host' || (user_id % 50)::varchar || '.example.com/p/'
-             || event_id::varchar || '?a=1&b=2' AS url_canon
+             || event_id::varchar || '?a=1&b=2' AS url_canon,
+           'com,example,host' || (user_id % 50)::varchar || ')/p/'
+             || event_id::varchar || '?a=1&b=2' AS surt,
+           substring(md5(event_id::varchar), 1, 8) || '-' ||
+           substring(md5(event_id::varchar), 9, 4) || '-' ||
+           substring(md5(event_id::varchar), 13, 4) || '-' ||
+           substring(md5(event_id::varchar), 17, 4) || '-' ||
+           substring(md5(event_id::varchar), 21, 12) AS rid,
+           ('0x' || substring(md5('42:' || 'https://host' || (user_id % 50)::varchar
+             || '.example.com/p/' || event_id::varchar), 1, 15))::bigint AS url_hash
     FROM events
     """,
 )
-def url_canonicalize_q(spark, sf):
-    # engine runs the real canonicalizer on a messy synthesized URL; the
-    # oracle constructs the expected canonical form directly
+def url_scalar_functions(spark, sf):
+    """F5 canonicalize + SURT, F11 normalizeRecordID, portable url hash —
+    merged r3 (see date_functions). The engine runs the real parsers on
+    messy synthesized inputs (mixed case, default port, fragment,
+    unsorted query, angle-wrapped uuid); the oracle constructs each
+    expected normal form directly."""
+    from warchaeology_spark.operators.textdedup import phash
+
     e = T(spark, sf, "events")
-    raw = F.concat(
+    canon_raw = F.concat(
         F.lit("HTTPS://Host"),
         (F.col("user_id") % 50).cast("string"),
         F.lit(".Example.COM:443/p/"),
         F.col("event_id").cast("string"),
         F.lit("?b=2&a=1#frag"),
     )
-    return e.select("event_id", canonicalize_url(raw).alias("url_canon"))
-
-
-@q(
-    "surt_key",
-    """
-    SELECT event_id,
-           'com,example,host' || (user_id % 50)::varchar || ')/p/'
-             || event_id::varchar || '?a=1&b=2' AS surt
-    FROM events
-    """,
-)
-def surt_key_q(spark, sf):
-    e = T(spark, sf, "events")
-    raw = F.concat(
+    surt_raw = F.concat(
         F.lit("http://host"),
         (F.col("user_id") % 50).cast("string"),
         F.lit(".example.com/p/"),
         F.col("event_id").cast("string"),
         F.lit("?b=2&a=1"),
     )
-    return e.select("event_id", surt_key(raw).alias("surt"))
-
-
-@q(
-    "normalize_record_id",
-    """
-    SELECT event_id,
-           substring(md5(event_id::varchar), 1, 8) || '-' ||
-           substring(md5(event_id::varchar), 9, 4) || '-' ||
-           substring(md5(event_id::varchar), 13, 4) || '-' ||
-           substring(md5(event_id::varchar), 17, 4) || '-' ||
-           substring(md5(event_id::varchar), 21, 12) AS rid
-    FROM events
-    """,
-)
-def normalize_record_id_q(spark, sf):
-    e = T(spark, sf, "events")
     m = F.md5(F.col("event_id").cast("string"))
     uuid = F.concat_ws(
         "-",
@@ -629,29 +590,19 @@ def normalize_record_id_q(spark, sf):
         F.substring(m, 21, 12),
     )
     wrapped = F.concat(F.lit("<urn:uuid:"), uuid, F.lit(">"))
-    return e.select("event_id", normalize_record_id(wrapped).alias("rid"))
-
-
-@q(
-    "url_hash_portable",
-    """
-    SELECT event_id,
-           ('0x' || substring(md5('42:' || 'https://host' || (user_id % 50)::varchar
-             || '.example.com/p/' || event_id::varchar), 1, 15))::bigint AS url_hash
-    FROM events
-    """,
-)
-def url_hash_portable(spark, sf):
-    from warchaeology_spark.operators.textdedup import phash
-
-    e = T(spark, sf, "events")
-    url = F.concat(
+    hash_url = F.concat(
         F.lit("https://host"),
         (F.col("user_id") % 50).cast("string"),
         F.lit(".example.com/p/"),
         F.col("event_id").cast("string"),
     )
-    return e.select("event_id", phash(42, url).alias("url_hash"))
+    return e.select(
+        "event_id",
+        canonicalize_url(canon_raw).alias("url_canon"),
+        surt_key(surt_raw).alias("surt"),
+        normalize_record_id(wrapped).alias("rid"),
+        phash(42, hash_url).alias("url_hash"),
+    )
 
 
 @q("url_hash_xxhash64", None)  # no DuckDB xxhash64 — rows-only; pytest pins
@@ -1039,82 +990,53 @@ _STOP_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 
 @q(
-    "lang_id_heuristic",
+    "text_analysis",
     f"""
     SELECT doc_id, stop_ratio,
-           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+           len(ws)::bigint AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::bigint AS re_tokens,
+           length(text)::bigint AS n_chars_calc,
+           round(least(length(text) / 400.0, 1.0)
+                 * least(stop_ratio / 0.2, 1.0)
+                 * CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::double / length(text)
+                        ELSE 0.0 END, 4) AS quality,
+           CASE WHEN len(fpw) >= 4 THEN
+             list_min(list_transform(
+               list_transform(range(1, greatest(len(fpw) - 3, 1) + 1),
+                 i -> fpw[i] || ' ' || fpw[i+1] || ' ' || fpw[i+2] || ' ' || fpw[i+3]),
+               g -> ('0x' || substring(md5('7:' || g), 1, 15))::bigint))
+           ELSE NULL END AS fingerprint
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, text, ws, fpw,
              CASE WHEN len(ws) > 0
                   THEN round(len(list_filter(ws, t -> list_contains({_STOP_SQL_LIST}, t)))::double / len(ws), 4)
                   ELSE 0.0 END AS stop_ratio
-      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(lower(text), ' '), x -> x != '') AS ws,
+                   list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ' '),
+                               x -> x != '') AS fpw
             FROM documents))
     """,
 )
-def lang_id_heuristic(spark, sf):
-    return lang_id_en(T(spark, sf, "documents")).select(
-        "doc_id", "stop_ratio", "lang_pred"
-    )
-
-
-@q(
-    "token_counts",
-    r"""
-    SELECT doc_id,
-           len(list_filter(string_split(lower(text), ' '), x -> x != ''))::bigint AS ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::bigint AS re_tokens,
-           length(text)::bigint AS n_chars_calc
-    FROM documents
-    """,
-)
-def token_counts_q(spark, sf):
-    return token_counts(T(spark, sf, "documents")).select(
+def text_analysis(spark, sf):
+    """Language-ID heuristic + token counts + quality score + winnowing
+    fingerprint in one pass over documents (merged r3: one registry entry
+    per operator family — each textstats op still runs and oracle-compares
+    on its own columns). All pure JVM column expressions."""
+    d = T(spark, sf, "documents")
+    out = fingerprint(quality_score(token_counts(lang_id_en(d))))
+    return out.select(
         "doc_id",
+        "stop_ratio",
+        "lang_pred",
         F.col("ws_tokens").cast("long"),
         F.col("re_tokens").cast("long"),
         F.col("n_chars_calc").cast("long"),
+        "quality",
+        "fingerprint",
     )
-
-
-@q(
-    "quality_score",
-    f"""
-    SELECT doc_id,
-           round(least(length(text) / 400.0, 1.0)
-                 * least(CASE WHEN len(ws) > 0
-                              THEN round(len(list_filter(ws, t -> list_contains({_STOP_SQL_LIST}, t)))::double / len(ws), 4)
-                              ELSE 0.0 END / 0.2, 1.0)
-                 * CASE WHEN length(text) > 0
-                        THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::double / length(text)
-                        ELSE 0.0 END, 4) AS quality
-    FROM (SELECT doc_id, text,
-                 list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
-          FROM documents)
-    """,
-)
-def quality_score_q(spark, sf):
-    return quality_score(T(spark, sf, "documents")).select("doc_id", "quality")
-
-
-@q(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           CASE WHEN len(ws) >= 4 THEN
-             list_min(list_transform(
-               list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
-                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
-               g -> ('0x' || substring(md5('7:' || g), 1, 15))::bigint))
-           ELSE NULL END AS fingerprint
-    FROM (SELECT doc_id,
-                 list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ' '),
-                             x -> x != '') AS ws
-          FROM documents)
-    """,
-)
-def doc_fingerprint(spark, sf):
-    return fingerprint(T(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
 # =========================================================================
