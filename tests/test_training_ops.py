@@ -151,6 +151,68 @@ def test_ngram_boundary_straddling_pair(spark):
     }
 
 
+def test_ngram_prefix_filter_pairs_long_ratio_feasible_docs(spark):
+    # the multiplicative feasibility bound: at t=0.6 a ~1000-char doc
+    # legitimately pairs with a ~1600-char doc (shingle subset, J=62/100).
+    # r2's linear len/64 buckets (15 vs 25) never probed this pair —
+    # VERDICT r2 finding #3. The prefix-filtering join is exact, so the
+    # pair must surface regardless of the length gap.
+    from warchaeology_spark.operators.textdedup import ngram_jaccard_neardups
+
+    words = [f"w{i:02d}xxxxxxxxxxxx" for i in range(101)]  # 15-char words
+    big = " ".join(words)           # 101 words -> 100 distinct bigrams
+    small = " ".join(words[:63])    # 63 words  -> 62 bigrams, all subset
+    assert abs(len(small) // 64 - len(big) // 64) > 1  # far apart linearly
+    df = spark.createDataFrame(
+        [(1, small, "en"), (2, big, "en")], "doc_id long, text string, lang string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_neardups(df, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 0.62}
+
+
+def test_ngram_prefix_filter_is_exact_vs_bruteforce(spark):
+    # recall-1.0 claim: on a randomized corpus the prefix-filter join must
+    # return EXACTLY the brute-force quadratic pair set (AllPairs theorem:
+    # J>=t pairs always share a DF-ordered prefix token)
+    import itertools
+    import random
+
+    from warchaeology_spark.operators.textdedup import ngram_jaccard_neardups
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    docs = []
+    base = [rng.choice(vocab) for _ in range(40)]
+    for i in range(30):
+        words = list(base)
+        for _ in range(rng.randrange(0, 25)):  # mutate a random amount
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words), "en"))
+
+    def shingles(text):
+        ws = [w for w in text.lower().split(" ") if w]
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    want = {}
+    for (ia, ta, _), (ib, tb, _) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 4) >= 0.6:
+            want[(min(ia, ib), max(ia, ib))] = round(j, 4)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_neardups(df, threshold=0.6).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_minhash_fast_family_recovers_exact_dups(spark):
     # the xxhash64 signature family must still band exact dups together
     from warchaeology_spark.operators.textdedup import jaccard_pairs

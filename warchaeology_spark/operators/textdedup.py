@@ -267,7 +267,7 @@ def simhash_signatures(
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (bucketed all-pairs within blocking keys)
+# n-gram Jaccard (exact prefix-filtering set-similarity join)
 # ---------------------------------------------------------------------------
 
 
@@ -279,15 +279,35 @@ def ngram_jaccard_neardups(
     threshold: float = 0.6,
     portable: bool = True,
 ) -> DataFrame:
-    """All-pairs Jaccard *within blocking keys* (never global all-pairs).
+    """Exact set-similarity self-join (all pairs with Jaccard >= t within
+    ``block_cols``) via DF-ordered PREFIX FILTERING — the AllPairs/PPJoin
+    scheme (Bayardo et al., WWW'07; Xiao et al., WWW'08), never a global
+    all-pairs.
 
-    Blocking bounds the quadratic term: pairs only form inside
-    (block_cols, length bucket) groups. Bucket boundaries OVERLAP: the
-    left side probes buckets {b-1, b, b+1} (exploded, so the join stays
-    an equi-join), the right side keeps its own bucket — a near-dup pair
-    straddling a 64-char boundary (63- vs 65-char docs) still pairs, and
-    each qualifying pair forms exactly once (probe set has distinct
-    values; id_a < id_b orients the pair).
+    Why prefix filtering (r3): the r2 linear 64-char length buckets missed
+    ratio-feasible long pairs (VERDICT r2 #3), and the suggested geometric
+    size buckets fix recall but collapse most docs into a handful of wide
+    buckets — measured 109 s vs 57 s at sf0.1 (quadratic set-math inside
+    each coarse bucket; A/B in BENCH/BASELINE.md). Prefix filtering is
+    both EXACT (recall 1.0 — strictly better than any +/-1 bucket probe)
+    and sub-quadratic:
+
+    1. order shingles by ascending global document frequency (rarest
+       first, ties by token value — any consistent total order works);
+    2. index only each doc's first ``n - ceil(t*n) + 1`` tokens (its
+       "prefix"). If J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), and
+       by pigeonhole the globally-smallest shared token sits inside BOTH
+       prefixes — so every qualifying pair shares a prefix token;
+    3. candidate pairs = equi-join of prefix tokens on (block, token),
+       deduped, size-ratio pruned;
+    4. verify true Jaccard on the full shingle arrays.
+
+    Scale shape: frequent shingles ("of the") sort LAST and never enter a
+    prefix, so join keys are rare tokens — candidate counts stay near the
+    true pair count and no key is skewed. Every shuffle is on a
+    high-cardinality key (token, doc id); nothing is quadratic in a block
+    population. ceil(t*n) in double can only round toward a LONGER prefix
+    on boundary products, so float rounding never costs recall.
 
     ``portable=False``: shingles are xxhash64-compressed to int64 before
     the set math — array_intersect/union over longs instead of strings.
@@ -303,41 +323,56 @@ def ngram_jaccard_neardups(
     sh = docs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        (F.length(text_col) / 64).cast("long").alias("len_bucket"),
         shingles.alias("sh"),
     ).filter(F.size("sh") > 0).localCheckpoint(eager=True)
-    # ^ evaluate the (interpreted HOF) shingle pipeline ONCE: both self-join
-    # sides, the probe explode, the size-ratio prune and the set math would
-    # otherwise each re-derive it per row
-    a = sh.select(
-        "*", F.explode(F.array(F.col("len_bucket") - 1, F.col("len_bucket"),
-                               F.col("len_bucket") + 1)).alias("probe_bucket")
-    ).alias("a")
-    b = sh.alias("b")
+    # ^ evaluate the (interpreted HOF) shingle pipeline ONCE: the token
+    # explode, the verify joins and the set math would otherwise each
+    # re-derive it per row
+    n_sh = F.size("sh")
+    prefix_len = n_sh - F.ceil(F.lit(threshold) * n_sh).cast("int") + 1
+    tok = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        n_sh.alias("n_sh"), prefix_len.alias("p_len"),
+        F.explode("sh").alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "token")
+    pref = (
+        tok.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("p_len"))
+        .select(id_col, *block_cols, "n_sh", "token")
+    )
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
-        F.col("a.probe_bucket") == F.col("b.len_bucket")
+        F.col("a.token") == F.col("b.token")
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    # size-ratio prune (see jaccard_pairs): cheap, semantics-preserving
+    # size-ratio feasibility prune before the dedupe shuffle
     cond = cond & (
-        F.least(F.size("a.sh"), F.size("b.sh"))
-        >= F.greatest(F.size("a.sh"), F.size("b.sh")) * threshold
+        F.least("a.n_sh", "b.n_sh") >= F.greatest("a.n_sh", "b.n_sh") * threshold
     )
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        a.join(b, cond)
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh")),
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
                 4,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "jaccard",
-        )
+        .select("id_a", "id_b", "jaccard")
     )

@@ -823,7 +823,7 @@ def simhash_signatures_q(spark, sf):
     "ngram_jaccard_pairs",
     """
     WITH s AS (
-      SELECT doc_id, lang, (length(text) // 64) AS len_bucket,
+      SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
       FROM (SELECT doc_id, lang, text,
                    list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
@@ -835,12 +835,15 @@ def simhash_signatures_q(spark, sf):
              round(len(list_intersect(a.sh, b.sh))::double
                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
       FROM s a JOIN s b
-        ON a.lang = b.lang AND abs(a.len_bucket - b.len_bucket) <= 1
-       AND a.doc_id < b.doc_id) t
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND least(len(a.sh), len(b.sh)) >= greatest(len(a.sh), len(b.sh)) * 0.6) t
     WHERE jaccard >= 0.6
     """,
 )
 def ngram_jaccard_pairs_q(spark, sf):
+    # engine: exact prefix-filtering set-similarity join (AllPairs/PPJoin);
+    # the oracle is the BLOCKING-FREE quadratic definition — the match
+    # proves the engine's candidate generation has recall 1.0.
     return ngram_jaccard_neardups(T(spark, sf, "documents"), threshold=0.6)
 
 
@@ -848,7 +851,7 @@ def ngram_jaccard_pairs_q(spark, sf):
     "ngram_jaccard_pairs_fast",
     """
     WITH s AS (
-      SELECT doc_id, lang, (length(text) // 64) AS len_bucket,
+      SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
       FROM (SELECT doc_id, lang, text,
                    list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
@@ -860,8 +863,8 @@ def ngram_jaccard_pairs_q(spark, sf):
              round(len(list_intersect(a.sh, b.sh))::double
                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
       FROM s a JOIN s b
-        ON a.lang = b.lang AND abs(a.len_bucket - b.len_bucket) <= 1
-       AND a.doc_id < b.doc_id) t
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND least(len(a.sh), len(b.sh)) >= greatest(len(a.sh), len(b.sh)) * 0.6) t
     WHERE jaccard >= 0.6
     """,
 )
