@@ -122,6 +122,66 @@ def test_checkpoint_resume(spark, fixture_dir, oracle_result, tmp_path):
     assert engine_seen == set(oracle_result.seen)
 
 
+def test_delta_commits_write_round_delta_not_full_state(spark, fixture_dir, oracle_result, tmp_path):
+    # append-only tables (seen, fetch_log) must commit O(round delta)
+    # bytes, not O(accumulated state): each snapshot's manifest appends
+    # exactly one new delta path whose row count equals that round's
+    # additions (VERDICT r2 #4)
+    from warchaeology_spark.frontier.checkpoint import SnapshotStore
+
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap")
+    res = run_crawl(spark, docs, seeds, robots, pol,
+                    CrawlConfig(max_rounds=4, store_root=root))
+    store = SnapshotStore(spark, root)
+    versions = store.versions()
+    assert len(versions) == res.rounds_run
+    prev_paths: list[str] = []
+    for i, v in enumerate(versions):
+        entry = store.manifest(v)["tables"]["seen"]
+        paths = entry["paths"]
+        # chain grows by exactly one delta, reusing prior files verbatim
+        assert paths[:-1] == prev_paths
+        delta_rows = spark.read.parquet(paths[-1]).count()
+        m = res.metrics[i]
+        if i == 0:  # round-0 delta also carries the gated seed set
+            from warchaeology_spark.frontier.scheduler import _init_pending
+
+            expected = m["novel"] + _init_pending(seeds).count()
+        else:
+            expected = m["novel"]
+        assert delta_rows == expected
+        fl_paths = store.manifest(v)["tables"]["fetch_log"]["paths"]
+        assert len(fl_paths) == i + 1
+        assert spark.read.parquet(fl_paths[-1]).count() == m["scheduled"]
+        prev_paths = paths
+    # the unioned chain is the full seen set
+    assert store.load("seen").count() == res.seen.count()
+
+
+def test_delta_chain_compacts(spark, fixture_dir, oracle_result, tmp_path, monkeypatch):
+    # chains longer than compact_after collapse to one file set and
+    # resume/parity still holds
+    from warchaeology_spark.frontier.checkpoint import SnapshotStore
+
+    monkeypatch.setattr(SnapshotStore, "compact_after", 2)
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap")
+    run_crawl(spark, docs, seeds, robots, pol,
+              CrawlConfig(max_rounds=2, store_root=root))
+    resumed = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, store_root=root, resume=True),
+    )
+    store = SnapshotStore(spark, root)
+    for v in store.versions():
+        for t in ("seen", "fetch_log"):
+            assert len(store.manifest(v)["tables"][t]["paths"]) <= 3
+    assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
+    engine_seen = {r["surt"] for r in resumed.seen.collect()}
+    assert engine_seen == set(oracle_result.seen)
+
+
 def test_torn_commit_tmp_manifest_is_harmless(spark, fixture_dir, oracle_result, tmp_path):
     # a driver killed between manifest write and rename leaves a
     # {v}.json.tmp behind; it must not break versions()/resume, and the

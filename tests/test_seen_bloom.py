@@ -60,3 +60,43 @@ def test_restore_seeds_driver_shards(spark):
     st2.restore(snapshot_seen, snapshot_bloom)
     got = {r["url_hash"] for r in st2.novel(_urls(spark, [5, 15, 777])).collect()}
     assert got == {777}
+
+
+def test_large_delta_auto_demotes_to_sharded(spark, monkeypatch):
+    # a delta above broadcast_max_delta must flip the state to the
+    # cogroup-sharded mode BEFORE any row data is pulled through the
+    # driver, and membership must stay exact across the migration
+    from pyspark.sql import DataFrame
+
+    st = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    st.broadcast_max_delta = 50
+    st.add(_urls(spark, list(range(10))))  # small delta: broadcast path
+    assert st.broadcast_bloom and st._shards
+
+    def no_driver_rows(self, *a, **kw):
+        raise AssertionError("row data pulled through the driver on a large delta")
+
+    monkeypatch.setattr(DataFrame, "toPandas", no_driver_rows)
+    big = _urls(spark, list(range(1000, 1100)))  # 100 rows > 50
+    st.add(big, n_rows=100)
+    assert not st.broadcast_bloom  # demoted, one-way
+    assert not st._shards and not st._bc_chain
+    monkeypatch.undo()
+
+    # pre-demotion bits migrated + post-demotion bits set, both effective
+    got = {
+        r["url_hash"]
+        for r in st.novel(_urls(spark, [3, 1005, 888_888])).collect()
+    }
+    assert got == {888_888}
+
+
+def test_add_without_hint_counts_before_collecting(spark):
+    # no n_rows hint: broadcast mode must still demote on a large delta
+    # (it counts first — the count is allowed, a row collect is not)
+    st = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    st.broadcast_max_delta = 5
+    st.add(_urls(spark, list(range(20))))  # 20 > 5, no hint
+    assert not st.broadcast_bloom
+    got = {r["url_hash"] for r in st.novel(_urls(spark, [7, 555])).collect()}
+    assert got == {555}

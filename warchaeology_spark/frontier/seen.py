@@ -89,6 +89,13 @@ class SeenState:
     # For blooms too large to broadcast at all, flip to False for the
     # cogroup-sharded path where each task sees only its shard.
     broadcast_bloom: bool = True
+    # auto-demotion guard (VERDICT r2 #2): broadcast-mode add() pulls the
+    # round's url_hash delta through the driver (8 B/URL) — fine at
+    # 10^5/round, a ~800 MB single-threaded bottleneck at 10^8. When a
+    # delta exceeds this many rows the state migrates itself to the
+    # cogroup-sharded mode (bit-setting happens on the executors, row
+    # data never touches the driver) and stays there.
+    broadcast_max_delta: int = 10_000_000
 
     def __post_init__(self):
         self.m_bits, self.k = _bloom_params(
@@ -157,18 +164,42 @@ class SeenState:
     def _pid(self, col):
         return F.pmod(col, F.lit(self.num_partitions)).cast("int")
 
+    def _switch_to_sharded(self) -> None:
+        """Migrate driver-authoritative shards into the cluster-side
+        (pid, bitset) table and demote to cogroup-sharded mode. One-way:
+        a crawl whose rounds outgrow the broadcast path stays sharded."""
+        self._bloom_df = self.bloom  # getter builds the DF from driver shards
+        self.broadcast_bloom = False
+        for bc in self._bc_chain:
+            bc.unpersist()
+        self._bc_chain = []
+        self._shards = {}
+        self._dirty = set()
+
     # -- api ----------------------------------------------------------------
-    def add(self, urls: DataFrame) -> None:
+    def add(self, urls: DataFrame, n_rows: int | None = None) -> None:
         """Insert (url_hash, surt, url_canon) rows; caller guarantees they
         are not already present (the round loop only adds survivors of
         ``novel()``) and that any pending ``novel()`` result was
         materialized first (the round loop localCheckpoints between the
-        two — see novel())."""
+        two — see novel()).
+
+        ``n_rows``: the delta's row count when the caller already knows it
+        (the round loop does — no extra action). In broadcast mode a delta
+        above ``broadcast_max_delta`` triggers self-demotion to sharded
+        mode BEFORE any row data is pulled to the driver; with no hint a
+        broadcast-mode add counts the delta first (one cheap job) for the
+        same guarantee."""
         rows = urls.select("url_hash", "surt", "url_canon")
         self.seen = self.seen.unionByName(rows)
         if not self.use_bloom:
             return
         m_bits, k = self.m_bits, self.k
+        if self.broadcast_bloom:
+            if n_rows is None:
+                n_rows = rows.count()
+            if n_rows > self.broadcast_max_delta:
+                self._switch_to_sharded()  # falls through to cogroup path
         if self.broadcast_bloom:
             # pull ONLY the hash column (8 B/URL, Arrow) — the round delta
             hv = rows.select("url_hash").toPandas()["url_hash"].to_numpy()
