@@ -67,6 +67,27 @@ def test_mount_walk_validate_flow(spark, tmp_path):
     assert hashed["rec-0002.warc"] == hashlib.sha256(members["rec-0002.warc"]).hexdigest()
 
 
+def test_mount_with_file_uri_staging_root(spark, tmp_path):
+    # a scheme-carrying staging root must go through the pyarrow FS API
+    # path (the cluster shape: staging on shared storage, not the
+    # executor's local disk) and produce walkable out_paths
+    arch_root = str(tmp_path / "archives2")
+    _make_archives(arch_root)
+    staging_uri = f"file://{tmp_path}/staging_uri"
+
+    manifest = mount_archives(spark, arch_root, staging_uri)
+    rows = manifest.collect()
+    assert len(rows) == 5  # 4 warcs + the wacz index
+    assert all(r["out_path"].startswith(staging_uri + "/") for r in rows)
+    # files physically exist where the URI points
+    for r in rows:
+        local = r["out_path"][len("file://"):]
+        assert os.path.isfile(local) and os.path.getsize(local) == r["n_bytes"]
+    # and Spark readers resolve the manifest paths as-is
+    walked = walk_files(spark, staging_uri, suffixes=(".warc",))
+    assert walked.count() == 4
+
+
 def test_file_hash_raw_algos(spark, tmp_path):
     d = tmp_path / "files"
     d.mkdir()

@@ -100,10 +100,55 @@ def test_media_pipeline_plumbing(documents_spans):
 
 
 def test_media_strict_mode_raises(documents_spans):
+    # fixture bytes are not a decodable format -> strict mode must refuse
     strict = decode_media(attach_fake_bytes(media_manifest(documents_spans)), strict=True)
     with pytest.raises(Exception) as ei:
         strict.limit(1).collect()
-    assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "no codec" in str(ei.value)
+
+
+def _tiny_bmp() -> bytes:
+    # 2x2 24-bit bottom-up BMP: top row red+green, bottom row blue+white
+    import struct
+
+    w = h = 2
+    row = (w * 3 + 3) // 4 * 4
+    bottom = bytes([255, 0, 0, 255, 255, 255]) + b"\x00" * (row - 6)  # BGR!
+    top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00" * (row - 6)
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+        + bottom + top
+    )
+
+
+def test_media_real_bmp_ppm_codecs_in_strict_mode(spark):
+    # the BMP/PPM decode path is REAL: strict mode succeeds, the fake
+    # label disappears, and the features are the expected pixel stats
+    import numpy as np
+
+    ppm = b"P6\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255])
+    df = spark.createDataFrame(
+        [
+            ("d1", "img.bmp", 0, "image", bytearray(_tiny_bmp())),
+            ("d2", "img.ppm", 0, "image", bytearray(ppm)),
+        ],
+        "doc_id string, media_ref string, span_offset int, media_type string,"
+        " content binary",
+    )
+    rows = {r["media_ref"]: r for r in decode_media(df, strict=True).collect()}
+    assert rows["img.bmp"]["codec"] == "bmp"
+    assert rows["img.ppm"]["codec"] == "ppm"
+    # BMP pixels: red, green, blue, white -> channel means (2/4 of 255
+    # per channel + white contributes to all)
+    f = rows["img.bmp"]["features"]
+    assert len(f) == 16
+    np.testing.assert_allclose(f[0:2], [2 / 4096, 2 / 4096], rtol=1e-5)
+    np.testing.assert_allclose(f[2:5], [0.5, 0.5, 0.5], rtol=1e-5)  # each channel: 2 of 4 at 255
+    # PPM: black + white -> means 0.5, gray histogram half in bin 0, half in bin 7
+    f2 = rows["img.ppm"]["features"]
+    np.testing.assert_allclose(f2[2:5], [0.5, 0.5, 0.5], rtol=1e-5)
+    np.testing.assert_allclose([f2[8], f2[15]], [0.5, 0.5], rtol=1e-5)
 
 
 def test_ivf_recall_vs_bruteforce(emb):

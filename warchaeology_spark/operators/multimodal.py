@@ -2,10 +2,13 @@
 
 Images/audio/video travel as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery (schema, partition-friendly
-batch shape, Arrow-batched UDF signatures) is real and tested; the actual
-codec work is STUBBED (this container ships no image/audio libraries) —
-``decode_media`` either raises NotImplementedError (strict mode) or emits
-a deterministic fake feature vector derived from the bytes, clearly marked.
+batch shape, Arrow-batched UDF signatures) is real and tested. Codecs:
+uncompressed 24-bit BMP and binary PPM (P6) are decoded FOR REAL in pure
+numpy (header parse + pixel stats -> a 16-dim feature vector); every
+other format is stubbed (this container ships no PIL/ffmpeg) —
+``decode_media`` raises NotImplementedError for them in strict mode, or
+emits a deterministic fake feature vector clearly labeled
+``codec='fake-sha256'`` otherwise.
 
 The flow mirrors what the 100 TB pipeline does:
   media manifest (explode media spans) -> fetch/attach bytes ->
@@ -31,7 +34,7 @@ MEDIA_META_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id string, media_ref string, span_offset int, media_type string,"
-    " content_hash string, n_bytes long, features array<float>"
+    " content_hash string, n_bytes long, codec string, features array<float>"
 )
 
 
@@ -43,7 +46,7 @@ def media_manifest(docs_spans: DataFrame) -> DataFrame:
     )
     ext = F.lower(F.regexp_extract("span.media_ref", r"\.([A-Za-z0-9]+)$", 1))
     media_type = (
-        F.when(ext.isin("jpg", "jpeg", "png", "gif", "webp"), "image")
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "webp", "bmp", "ppm"), "image")
         .when(ext.isin("mp3", "wav", "flac", "ogg"), "audio")
         .when(ext.isin("mp4", "webm", "mkv", "avi"), "video")
         .otherwise("unknown")
@@ -64,35 +67,120 @@ def attach_fake_bytes(manifest: DataFrame) -> DataFrame:
     )
 
 
+def _decode_bmp(data: bytes) -> np.ndarray | None:
+    """HxWx3 uint8 RGB for uncompressed 24-bit BI_RGB BMPs (top-down or
+    bottom-up); None for anything else. Pure struct+numpy — no PIL."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_sz = struct.unpack_from("<I", data, 14)[0]
+    if hdr_sz < 40:
+        return None
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, height = h < 0, abs(h)
+    row_sz = (w * 3 + 3) // 4 * 4  # rows pad to 4 bytes
+    if off + row_sz * height > len(data):
+        return None
+    rows = np.frombuffer(data, np.uint8, count=row_sz * height, offset=off)
+    px = rows.reshape(height, row_sz)[:, : w * 3].reshape(height, w, 3)[..., ::-1]
+    return px if top_down else px[::-1]
+
+
+def _decode_ppm(data: bytes) -> np.ndarray | None:
+    """HxWx3 uint8 RGB for binary PPM (P6, maxval<=255); None otherwise."""
+    if not data.startswith(b"P6"):
+        return None
+    # header: P6 <w> <h> <maxval> then ONE whitespace byte, then pixels;
+    # '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval > 255:
+        return None
+    pos += 1  # the single whitespace after maxval
+    if pos + w * h * 3 > len(data):
+        return None
+    return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def _pixel_features(px: np.ndarray) -> list[float]:
+    """16-dim real feature vector: normalized dims, per-channel mean/std,
+    8-bin grayscale histogram density."""
+    height, width, _ = px.shape
+    flat = px.reshape(-1, 3).astype(np.float64)
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+    out = [min(width, 4096) / 4096.0, min(height, 4096) / 4096.0]
+    out += (flat.mean(axis=0) / 255.0).tolist()
+    out += (flat.std(axis=0) / 255.0).tolist()
+    out += (hist / gray.size).tolist()
+    return [float(x) for x in out]
+
+
 def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode / feature-extract over mapInPandas.
 
-    STUB: real decoding needs PIL/ffmpeg (absent here). strict=True raises
-    NotImplementedError exactly where the codec call would go; otherwise a
-    deterministic fake feature vector is derived from the content bytes so
-    the batch shape, schema, and partitioning are exercised for real.
+    Real codecs: uncompressed 24-bit BMP and binary PPM (P6) -> pixel-stat
+    features (``codec`` = 'bmp'/'ppm'). Everything else needs PIL/ffmpeg
+    (absent in this image): strict=True raises NotImplementedError exactly
+    where the codec call would go; otherwise a deterministic fake feature
+    vector is derived from the content bytes (``codec`` = 'fake-sha256')
+    so batch shape, schema, and partitioning are exercised for real.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg; not available in this image"
-                )
-            feats = []
-            hashes = []
+            feats, hashes, codecs = [], [], []
             for b in pdf["content"]:
-                h = hashlib.sha256(bytes(b)).digest()
-                hashes.append(h.hex())
-                # fake "embedding": first FEATURE_DIM bytes of the digest,
-                # scaled to [0,1) — deterministic, marked fake
+                data = bytes(b)
+                hashes.append(hashlib.sha256(data).hexdigest())
+                px = _decode_bmp(data)
+                codec = "bmp" if px is not None else None
+                if px is None:
+                    px = _decode_ppm(data)
+                    codec = "ppm" if px is not None else None
+                if px is not None:
+                    feats.append(
+                        np.asarray(_pixel_features(px), dtype=np.float32).tolist()
+                    )
+                    codecs.append(codec)
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        f"no codec for media bytes (magic {data[:4]!r}): only "
+                        "BMP/P6-PPM decode without PIL/ffmpeg in this image"
+                    )
+                digest = hashlib.sha256(data).digest()
                 feats.append(
-                    (np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8) / 256.0)
+                    (np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8) / 256.0)
                     .astype(np.float32)
                     .tolist()
                 )
+                codecs.append("fake-sha256")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -101,6 +189,7 @@ def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "content_hash": hashes,
                     "n_bytes": pdf["content"].map(len),
+                    "codec": codecs,
                     "features": feats,
                 }
             )

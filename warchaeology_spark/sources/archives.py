@@ -11,12 +11,15 @@ existing walker (sources/walker.py) then sees them as ordinary files —
 foo.wacz` analogue.
 
 Scale shape: archives parallelize per-file (one task each, the same unit
-the reference uses); member writes go to whatever filesystem
-``staging_dir`` names (local in local mode, HDFS/S3A on a cluster via the
-same open() the task's Hadoop config resolves — here plain ``open`` since
-the sandbox is posix-only, documented limitation). WACZ is zip (the wacz
-spec packages WARCs + indexes in a zip container), so .wacz routes through
-the zip codec; .tar/.tgz/.tar.gz through tarfile.
+the reference uses); member writes resolve ``staging_dir``'s scheme
+through ``pyarrow.fs`` (ADVICE r2: plain open() landed members on each
+executor's local disk while the manifest presented them as shared
+storage). pyarrow — not the JVM Hadoop FileSystem — because the write
+happens INSIDE a mapInPandas task, where the Python worker has no JVM
+gateway; pyarrow.fs covers file/posix, s3:// (s3a:// normalized), and
+hdfs:// where libhdfs is present, executor-side. WACZ is zip (the wacz
+spec packages WARCs + indexes in a zip container), so .wacz routes
+through the zip codec; .tar/.tgz/.tar.gz through tarfile.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ import zipfile
 from collections.abc import Iterator
 
 import pandas as pd
+from pyarrow import fs as pafs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,11 +51,36 @@ def _safe_member(name: str) -> str | None:
     return norm
 
 
+def _staging_fs(staging_dir: str) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, root-path-inside-it) for the staging scheme.
+
+    s3a:// (the Hadoop spelling) is normalized to pyarrow's s3://; a bare
+    posix path short-circuits to LocalFileSystem without a URI probe."""
+    p = staging_dir
+    if p.startswith("s3a://"):
+        p = "s3://" + p[len("s3a://"):]
+    if "://" not in p and not p.startswith("file:"):
+        return pafs.LocalFileSystem(), p
+    return pafs.FileSystem.from_uri(p)
+
+
 def _extract_one(path: str, content: bytes, staging_dir: str) -> Iterator[dict]:
     stem = os.path.splitext(os.path.basename(path))[0]
     if path.endswith(".tar.gz"):
         stem = os.path.basename(path)[: -len(".tar.gz")]
-    out_root = os.path.join(staging_dir, stem)
+    fs, staging_root = _staging_fs(staging_dir)
+    out_root = f"{staging_root.rstrip('/')}/{stem}"
+    # manifest paths keep the caller's staging_dir spelling (s3a:// etc.)
+    # so downstream Spark readers resolve them through Hadoop as usual
+    manifest_root = f"{staging_dir.rstrip('/')}/{stem}"
+
+    def _write(member: str, data: bytes) -> str:
+        target = f"{out_root}/{member}"
+        fs.create_dir(posixpath.dirname(target), recursive=True)
+        with fs.open_output_stream(target) as out:
+            out.write(data)
+        return f"{manifest_root}/{member}"
+
     low = path.lower()
     if low.endswith(ZIP_SUFFIXES):
         with zipfile.ZipFile(io.BytesIO(content)) as zf:
@@ -61,11 +90,8 @@ def _extract_one(path: str, content: bytes, staging_dir: str) -> Iterator[dict]:
                 member = _safe_member(info.filename)
                 if member is None:
                     continue
-                out_path = os.path.join(out_root, member)
-                os.makedirs(os.path.dirname(out_path), exist_ok=True)
                 data = zf.read(info)
-                with open(out_path, "wb") as f:
-                    f.write(data)
+                out_path = _write(member, data)
                 yield dict(archive=path, member=member, out_path=out_path, n_bytes=len(data))
     elif low.endswith(TAR_SUFFIXES):
         mode = "r:gz" if low.endswith((".tgz", ".tar.gz")) else "r:"
@@ -76,11 +102,8 @@ def _extract_one(path: str, content: bytes, staging_dir: str) -> Iterator[dict]:
                 member = _safe_member(info.name)
                 if member is None:
                     continue
-                out_path = os.path.join(out_root, member)
-                os.makedirs(os.path.dirname(out_path), exist_ok=True)
                 data = tf.extractfile(info).read()
-                with open(out_path, "wb") as f:
-                    f.write(data)
+                out_path = _write(member, data)
                 yield dict(archive=path, member=member, out_path=out_path, n_bytes=len(data))
 
 
