@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from warchaeology_spark.functions.urls import (
     canonicalize_py,
     canonicalize_url,
+    canonicalize_url_arrow,
     canonicalize_url_lenient,
     surt_key,
 )
@@ -52,12 +53,35 @@ def test_three_way_canonicalization_agreement(spark, batch):
         canonicalize_url("url").alias("canon"),
         surt_key("url").alias("surt"),
         canonicalize_url_lenient(F.col("url")).alias("lenient"),
+        canonicalize_url_arrow(F.col("url")).alias("strict_pd"),
     ).collect()
     for r in rows:
         py = canonicalize_py(r["url"])
         assert r["canon"] == (py[0] if py else None), repr(r["url"])
         assert r["surt"] == (py[1] if py else None), repr(r["url"])
         assert r["lenient"] == r["canon"], repr(r["url"])
+        assert r["strict_pd"] == r["canon"], repr(r["url"])
+
+
+backslash_junk = st.text(
+    alphabet="ab\\/:?#@&=. %01xyzHTTP", min_size=0, max_size=24
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(backslash_junk, min_size=100, max_size=100))
+def test_strict_arrow_matches_jvm_even_with_backslashes(spark, batch):
+    # the strict Arrow path must track the JVM spec on inputs where the
+    # LENIENT path deliberately diverges (backslash handling)
+    df = spark.createDataFrame([(u,) for u in batch], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_url("url").alias("canon"),
+        canonicalize_url_arrow(F.col("url")).alias("strict_pd"),
+    ).collect()
+    for r in rows:
+        py = canonicalize_py(r["url"])
+        assert r["strict_pd"] == r["canon"] == (py[0] if py else None), repr(r["url"])
 
 
 @settings(max_examples=4, deadline=None)

@@ -1,0 +1,174 @@
+"""A/B the canonicalize (step-1) implementations on the kernel's URL mix.
+
+VERDICT r2 #2 asks for measurements of the two remaining untried parse
+levers: (a) a one-pass regexp-split (one compiled multi-group pattern,
+fragment pre-stripped with substring_index), (b) the Arrow-side pandas
+canonicalizer at the checkpoint boundary. Off-heap variants added because
+the ladder is allocation/GC-bound. Each child times the step-1
+materialization (canonicalize -> filter -> localCheckpoint) over
+SPARK_GRAFT_AB_URLS synthetic URLs in a FRESH JVM (subprocess), trials
+interleaved across variants so co-tenant drift hits all of them equally.
+``busy_before`` is a 1-second /proc/stat sample of the box's current
+non-idle CPU fraction (loadavg trails our own finished children and is
+misleading).
+
+Usage:
+  python tools/ab_parse.py                   # all variants at 4 and 16
+  python tools/ab_parse.py --child <variant> <cpus> <n_urls>   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = ("jvm", "jvm_offheap", "pd_arrow", "pd_arrow_offheap", "regex_onepass")
+
+_ONEPASS_PAT = (
+    r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:]*)"
+    r"(?::(\d+))?([^?#]*)(?:\?(.*))?$"
+)
+
+
+def busy_fraction(interval: float = 1.0) -> float:
+    def snap():
+        with open("/proc/stat") as f:
+            parts = [int(x) for x in f.readline().split()[1:]]
+        idle = parts[3] + parts[4]  # idle + iowait
+        return idle, sum(parts)
+
+    i0, t0 = snap()
+    time.sleep(interval)
+    i1, t1 = snap()
+    dt = t1 - t0
+    return round(1.0 - (i1 - i0) / dt, 3) if dt else 0.0
+
+
+def _urls_df(spark, n_urls: int, cpus: int):
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    raw = F.format_string(
+        "HTTPS://Host%d.Example.COM:443/p/%d?b=%d&a=1#f",
+        F.pmod(i, F.lit(10_000)), i, F.pmod(i, F.lit(7)),
+    )
+    return spark.range(n_urls, numPartitions=cpus * 2).select(raw.alias("raw_url"))
+
+
+def _canonicalize_onepass(col):
+    """One compiled multi-group regex (fragment pre-stripped via
+    substring_index). Spark has no multi-group single-call extract, so the
+    pattern still EVALUATES once per component — the A/B measures whether
+    one big compiled pattern beats the per-component regex chain."""
+    from pyspark.sql import functions as F
+
+    from warchaeology_spark.functions.urls import _with_scheme
+
+    u = F.substring_index(_with_scheme(col), "#", 1)
+    scheme = F.lower(F.regexp_extract(u, _ONEPASS_PAT, 1))
+    host = F.lower(F.regexp_extract(u, _ONEPASS_PAT, 2))
+    host = F.when(
+        host.endswith("."), F.substring(host, 1, F.length(host) - 1)
+    ).otherwise(host)
+    port = F.regexp_extract(u, _ONEPASS_PAT, 3)
+    port = F.when(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(port)
+    path = F.regexp_extract(u, _ONEPASS_PAT, 4)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, _ONEPASS_PAT, 5)
+    query = F.array_join(F.sort_array(F.array_remove(F.split(query, "&"), "")), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    ok = scheme.isin("http", "https") & (host != "") & host.rlike(r"^[a-z0-9.\-]+$")
+    return F.when(ok, canon)
+
+
+def child(variant: str, cpus: int, n_urls: int) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from warchaeology_spark.functions.urls import (
+        canonicalize_url,
+        canonicalize_url_lenient,
+    )
+    from warchaeology_spark.session import get_spark
+
+    extra = {}
+    if variant.endswith("_offheap"):
+        extra = {
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "16g",
+        }
+    spark = get_spark(f"ab-{variant}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus, extra_conf=extra)
+    urls = _urls_df(spark, n_urls, cpus).localCheckpoint(eager=True)
+    urls.count()  # input fully materialized before the clock starts
+
+    if variant.startswith("jvm"):
+        expr = canonicalize_url(F.col("raw_url"))
+    elif variant.startswith("pd_arrow"):
+        expr = canonicalize_url_lenient(F.col("raw_url"))
+    elif variant == "regex_onepass":
+        expr = _canonicalize_onepass(F.col("raw_url"))
+    else:
+        raise SystemExit(f"unknown variant {variant}")
+
+    t0 = time.monotonic()
+    step1 = (
+        urls.select(expr.alias("url_canon"))
+        .filter(F.col("url_canon").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n = step1.count()
+    elapsed = time.monotonic() - t0
+    print(json.dumps({
+        "variant": variant, "cpus": cpus, "n_urls": n_urls, "n_out": n,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(n_urls / elapsed, 1),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+    n_urls = int(os.environ.get("SPARK_GRAFT_AB_URLS", "16000000"))
+    cpu_list = [int(c) for c in os.environ.get("SPARK_GRAFT_AB_CPUS", "4,16").split(",")]
+    trials = int(os.environ.get("SPARK_GRAFT_AB_TRIALS", "2"))
+    results = []
+    for _ in range(trials):
+        for cpus in cpu_list:
+            for variant in VARIANTS:
+                busy = busy_fraction()
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     variant, str(cpus), str(n_urls)],
+                    capture_output=True, text=True, timeout=1800,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+                try:
+                    rec = json.loads(out.stdout.strip().splitlines()[-1])
+                except Exception:
+                    rec = {"variant": variant, "cpus": cpus,
+                           "error": out.stderr.strip()[-500:]}
+                rec["busy_before"] = busy
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    with open("BENCH/ab_parse.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,8 +161,51 @@ _PD_SPLIT = (
 )
 
 
+def _canonicalize_pd_strict(s: pd.Series) -> pd.Series:
+    """Spec-exact vectorized canonicalization: reproduces the JVM column
+    chain (and canonicalize_py) bit-for-bit on EVERY input, including the
+    component-regex quirks — userinfo strips greedily to the LAST ``@``,
+    the query is the first ``?`` ANYWHERE (even after a ``#``), a port is
+    only digits running to the end of the authority. One multi-group
+    extract for scheme/auth/path + short vectorized passes over the
+    authority — the Arrow-side step-1 candidate (A/B: BENCH/ab_parse.json).
+    """
+    t = s.fillna("").str.strip(" ")  # ASCII space only = Spark trim()
+    has_scheme = t.str.match(_SCHEME_RE)
+    protocol_rel = t.str.match(r"^//")
+    t = t.mask(protocol_rel, "http:" + t)
+    t = t.mask(~has_scheme & ~protocol_rel, "http://" + t)
+    m = t.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)")
+    scheme = m[0].str.lower().fillna("")
+    auth = m[1].fillna("")
+    hostport = auth.str.replace(r"^.*@", "", regex=True)  # greedy: last @
+    host = (
+        hostport.str.split(":", n=1).str[0].str.lower()
+        .str.replace(r"\.$", "", regex=True)
+    )
+    port = hostport.str.extract(r":(\d+)$")[0].fillna("")
+    port = port.mask(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443")),
+        "",
+    )
+    path = m[2].fillna("")
+    path = path.mask(path == "", "/")
+    query = t.str.extract(_QUERY_RE)[0].fillna("")  # re.search semantics
+    qsorted = query.str.split("&").map(
+        lambda xs: "&".join(sorted(x for x in xs if x)) if isinstance(xs, list) else ""
+    )
+    canon = (
+        scheme + "://" + host
+        + (":" + port).where(port != "", "")
+        + path
+        + ("?" + qsorted).where(qsorted != "", "")
+    )
+    ok = scheme.isin(["http", "https"]) & (host != "") & host.str.match(r"^[a-z0-9.\-]+$")
+    return canon.where(ok, None)
+
+
 def _canonicalize_pd(s: pd.Series) -> pd.Series:
-    """Vectorized canonicalization of a string Series (shared by UDFs)."""
+    """Vectorized canonicalization of a string Series (lenient UDF body)."""
     # strip ASCII space ONLY — Spark's trim() semantics; Python's default
     # strip() also eats \x1c-\x1f etc. and would diverge from the JVM path
     t = s.fillna("").str.strip(" ")
@@ -197,6 +240,16 @@ def _canonicalize_pd(s: pd.Series) -> pd.Series:
 def canonicalize_url_lenient(s: pd.Series) -> pd.Series:
     """WHATWG-lenient canonicalization (handles ``\\`` separators etc.)."""
     return _canonicalize_pd(s)
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_url_arrow(s: pd.Series) -> pd.Series:
+    """Spec-exact Arrow-batched canonicalization (_canonicalize_pd_strict):
+    bit-identical to the JVM ``canonicalize_url`` on every input
+    (property-fuzzed incl. backslashes), but one multi-group extract +
+    short authority passes instead of the ~10 per-component JVM regex
+    evaluations — BENCH/ab_parse.json decides which one step-1 uses."""
+    return _canonicalize_pd_strict(s)
 
 
 # ---------------------------------------------------------------------------

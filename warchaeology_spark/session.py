@@ -54,6 +54,19 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Tungsten off-heap: the string-heavy hot paths are allocation/GC
+        # bound at high thread counts — the r3 A/B (BENCH/ab_parse.json)
+        # measured the 16M-URL canonicalize stage at 31.0 s on-heap vs
+        # 19.8 s off-heap on 16 cores (neutral at 4), which is also what
+        # lifted the N->4N ladder. Size is a cap, not a reservation.
+        .config(
+            "spark.memory.offHeap.enabled",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", "true"),
+        )
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP_SIZE", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
