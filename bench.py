@@ -26,6 +26,7 @@ HEADLINE = [
     "dedup_first_wins",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_fast",
+    "dedup_clusters",
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_fast",

@@ -317,3 +317,38 @@ def test_ivf_persisted_index_matches_inline(emb, spark, tmp_path):
         for r in ivf_topk_from_index(spark, idx, queries, k=5, n_probe=3).collect()
     }
     assert served == inline
+
+
+def test_dedup_clusters_components_and_chain(spark):
+    """Min-label propagation finds components, incl. a chain needing >1 round."""
+    from warchaeology_spark.operators.textdedup import dedup_clusters
+
+    # component 1: a 5-chain (diameter 4 — forces several propagation rounds)
+    # component 2: a triangle; singleton pairs never appear (vertices only
+    # exist via pairs, matching LSH output semantics)
+    pairs = spark.createDataFrame(
+        [
+            ("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"),
+            ("t1", "t2"), ("t2", "t3"), ("t1", "t3"),
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        "d1": ("d1", 5), "d2": ("d1", 5), "d3": ("d1", 5),
+        "d4": ("d1", 5), "d5": ("d1", 5),
+        "t1": ("t1", 3), "t2": ("t1", 3), "t3": ("t1", 3),
+    }
+
+
+def test_dedup_clusters_is_deterministic_and_direction_free(spark):
+    from warchaeology_spark.operators.textdedup import dedup_clusters
+
+    fwd = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    rev = spark.createDataFrame([("c", "b"), ("b", "a")], ["id_a", "id_b"])
+    out_f = sorted(map(tuple, dedup_clusters(fwd).collect()))
+    out_r = sorted(map(tuple, dedup_clusters(rev).collect()))
+    assert out_f == out_r == [("a", "a", 3), ("b", "a", 3), ("c", "a", 3)]

@@ -376,3 +376,76 @@ def ngram_jaccard_neardups(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list.
+
+    The step after pair generation in a dedup pipeline: group transitively
+    connected near-duplicates into clusters so one canonical doc per cluster
+    can be kept (generalizes cmd/dedup/dedup.go's digest groups, which are
+    cliques by construction, to the non-transitive similarity graph LSH
+    emits). Returns one row per vertex: (doc_id, cluster_id, cluster_size)
+    with cluster_id = min doc_id in the component (deterministic).
+
+    Algorithm: min-label propagation. label(v) starts at v; each round every
+    vertex takes the min label over itself and its neighbours; converged when
+    no label changed. Rounds needed = graph diameter, which for near-dup
+    clusters is tiny (duplicates of a common source form near-cliques);
+    max_iter bounds adversarial chains. Scale shape per round: one shuffle
+    join of edges->labels on the vertex id + one groupBy-min — both keyed on
+    doc_id, no skew beyond component size, no driver-side row data (the only
+    action is the convergence count). localCheckpoint truncates lineage so
+    the plan stays O(1) across rounds instead of growing by two joins per
+    round. For graphs with genuinely large diameter, switch to the
+    alternating large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same building blocks, O(log^2 n)
+    rounds; not needed for dedup graphs.
+    """
+    # symmetrize: (s, d) both directions; vertices = all endpoint ids
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbour min: edges (s,d) x labels(d) -> candidate label for s
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("s", "v")
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -31,6 +31,7 @@ from warchaeology_spark.functions.strings import crop_string, normalize_record_i
 from warchaeology_spark.functions.urls import canonicalize_url, surt_key
 from warchaeology_spark.operators.similarity import cosine
 from warchaeology_spark.operators.textdedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -114,60 +115,44 @@ def _egroup_window():
 
 
 @q(
-    "per_group_limit",
+    "per_group_selectors",
     """
-    SELECT user_id, event_id, rn FROM (
+    WITH ranked AS (
       SELECT user_id, event_id,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events) t
-    WHERE rn <= 3
+      FROM events)
+    SELECT 'limit' AS sel, user_id, event_id, rn FROM ranked WHERE rn <= 3
+    UNION ALL
+    SELECT 'nth' AS sel, user_id, event_id, rn FROM ranked WHERE rn = 2
+    UNION ALL
+    SELECT 'skip' AS sel, user_id, event_id, rn FROM ranked WHERE rn > 5
     """,
 )
-def per_group_limit(spark, sf):
-    e = T(spark, sf, "events")
-    return (
-        e.withColumn("rn", F.row_number().over(_egroup_window()).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "rn")
-    )
+def per_group_selectors(spark, sf):
+    """L1/L2/L3 per-group row selectors (limit / nth / skip) as one tagged union.
 
-
-@q(
-    "per_group_nth",
+    Mirrors warchaeology's recordcount/recordnum/skip filters
+    (/root/reference/internal/filter/filter.go) — each tag is one selector's
+    predicate over the same per-group row_number, so per-operator signal is
+    preserved while occupying one driver-visible registry slot.
     """
-    SELECT user_id, event_id FROM (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events) t
-    WHERE rn = 2
-    """,
-)
-def per_group_nth(spark, sf):
     e = T(spark, sf, "events")
-    return (
-        e.withColumn("rn", F.row_number().over(_egroup_window()))
-        .filter(F.col("rn") == 2)
-        .select("user_id", "event_id")
-    )
-
-
-@q(
-    "per_group_skip",
-    """
-    SELECT user_id, event_id FROM (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events) t
-    WHERE rn > 5
-    """,
-)
-def per_group_skip(spark, sf):
-    e = T(spark, sf, "events")
-    return (
-        e.withColumn("rn", F.row_number().over(_egroup_window()))
-        .filter(F.col("rn") > 5)
-        .select("user_id", "event_id")
-    )
+    ranked = e.withColumn("rn", F.row_number().over(_egroup_window()).cast("long"))
+    sels = [
+        ("limit", F.col("rn") <= 3),
+        ("nth", F.col("rn") == 2),
+        ("skip", F.col("rn") > 5),
+    ]
+    parts = [
+        ranked.filter(pred).select(
+            F.lit(tag).alias("sel"), "user_id", "event_id", "rn"
+        )
+        for tag, pred in sels
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 @q(
@@ -793,6 +778,47 @@ def minhash_lsh_pairs_q(spark, sf):
 def minhash_jaccard_verified(spark, sf):
     docs = T(spark, sf, "documents")
     return jaccard_pairs(docs, minhash_lsh_pairs(docs), threshold=0.5)
+
+
+@q(
+    "dedup_clusters",
+    _MINHASH_SQL_SIGS
+    + f"""
+    , sigs AS (SELECT doc_id, {_minhash_sig_exprs_sql()} FROM sh)
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, sig_0::varchar || ':' || sig_1::varchar AS band_sig FROM sigs
+      UNION ALL SELECT doc_id, 1, sig_2::varchar || ':' || sig_3::varchar FROM sigs
+      UNION ALL SELECT doc_id, 2, sig_4::varchar || ':' || sig_5::varchar FROM sigs
+      UNION ALL SELECT doc_id, 3, sig_6::varchar || ':' || sig_7::varchar FROM sigs
+    )
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    , e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs)
+    , labeled AS (
+      SELECT node, min(root) AS cluster_id FROM (
+        WITH RECURSIVE r(node, root) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.d, r.root FROM r JOIN e ON e.s = r.node
+        ) SELECT node, root FROM r
+      ) GROUP BY node
+    )
+    SELECT node AS doc_id, cluster_id,
+           (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size
+    FROM labeled
+    """,
+)
+def dedup_clusters_q(spark, sf):
+    """Near-dup clustering: LSH pairs -> connected components.
+
+    The transitive-closure step the reference's digest dedup gets for free
+    (equal digests are cliques, cmd/dedup/dedup.go); for LSH's non-transitive
+    similarity graph it needs min-label propagation (textdedup.dedup_clusters).
+    """
+    return dedup_clusters(minhash_lsh_pairs(T(spark, sf, "documents")))
 
 
 def _simhash_sql(bits: int = 16) -> str:
