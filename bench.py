@@ -148,32 +148,50 @@ def run_kernel(spark, n_urls: int) -> dict:
         (F.pmod(F.col("id"), F.lit(3)) * 16 + 16).cast("int").alias("max_per_round"),
     ).localCheckpoint(eager=True)
 
+    def run_pass(in_urls):
+        # Two-step parse. Step 1 computes ONLY url_canon (the one
+        # regex-chain tree + its filter copy) and materializes it — the
+        # pending-table write a real round performs, and the boundary
+        # Catalyst cannot inline through (without it the parse
+        # re-evaluates for every consumer expression and both union
+        # branches of novel()). Step 2 derives surt/host/url_hash from
+        # the clean canonical string with byte-scan intrinsics
+        # (parts_from_canon — parity-tested vs canonical_parts).
+        canon_step = (
+            in_urls.select(canonicalize_url(F.col("raw_url")).alias("url_canon"))
+            .filter(F.col("url_canon").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        d = parts_from_canon(F.col("url_canon"))
+        cand = canon_step.select(
+            "url_canon",
+            d["surt"].alias("surt"),
+            d["host"].alias("host"),
+        ).select(
+            "url_canon", "surt", "host",
+            F.xxhash64("surt").alias("url_hash"),
+            F.lit(0).alias("depth"),
+        )
+        novel = seen_state.novel(cand)
+        scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)
+        return scheduled.count()
+
+    # Untimed warmup over a slice: JIT-compiles the whole-stage-codegen
+    # classes, Arrow serializers and shuffle paths so the timed pass
+    # measures STEADY-STATE throughput — the operative number for a crawl
+    # whose rounds run for hours; cold-JVM compile cost is a local-mode
+    # ladder artifact that a long-lived executor amortizes to zero. It is
+    # also a fixed cost, so it distorts the short (high-core) ladder runs
+    # the most. Disable with SPARK_GRAFT_KERNEL_WARMUP=0.
+    if os.environ.get("SPARK_GRAFT_KERNEL_WARMUP", "1") != "0":
+        run_pass(
+            spark.range(min(n_urls // 8, 2_000_000), numPartitions=cpus).select(
+                raw.alias("raw_url")
+            )
+        )
+
     t0 = time.monotonic()
-    # Two-step parse. Step 1 computes ONLY url_canon (the one regex-chain
-    # tree + its filter copy) and materializes it — the pending-table
-    # write a real round performs, and the boundary Catalyst cannot inline
-    # through (without it the parse re-evaluates for every consumer
-    # expression and both union branches of novel()). Step 2 derives
-    # surt/host/url_hash from the clean canonical string with byte-scan
-    # intrinsics (parts_from_canon — parity-tested vs canonical_parts).
-    canon_step = (
-        urls.select(canonicalize_url(F.col("raw_url")).alias("url_canon"))
-        .filter(F.col("url_canon").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    d = parts_from_canon(F.col("url_canon"))
-    cand = canon_step.select(
-        "url_canon",
-        d["surt"].alias("surt"),
-        d["host"].alias("host"),
-    ).select(
-        "url_canon", "surt", "host",
-        F.xxhash64("surt").alias("url_hash"),
-        F.lit(0).alias("depth"),
-    )
-    novel = seen_state.novel(cand)
-    scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)
-    n_sched = scheduled.count()
+    n_sched = run_pass(urls)
     elapsed = time.monotonic() - t0
     return {
         "n_urls": n_urls,

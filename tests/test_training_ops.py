@@ -352,3 +352,18 @@ def test_dedup_clusters_is_deterministic_and_direction_free(spark):
     out_f = sorted(map(tuple, dedup_clusters(fwd).collect()))
     out_r = sorted(map(tuple, dedup_clusters(rev).collect()))
     assert out_f == out_r == [("a", "a", 3), ("b", "a", 3), ("c", "a", 3)]
+
+
+def test_dedup_keep_canonical_drops_only_non_heads(spark):
+    from warchaeology_spark.operators.textdedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0, 2), (3, 0, 2), (1, 1, 2), (4, 1, 2)],
+        ["doc_id", "cluster_id", "cluster_size"],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, clusters).collect())
+    # heads 0 and 1 kept; members 3 and 4 dropped; unclustered 2 and 5 kept
+    assert kept == [0, 1, 2, 5]

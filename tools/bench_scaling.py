@@ -21,12 +21,31 @@ import sys
 import time
 
 
+def wait_quiet(threshold: float, timeout_sec: float) -> None:
+    """Block until 1-min loadavg drops below threshold (co-tenant gate).
+
+    The box is shared; trials started under a co-tenant spike measure the
+    neighbour, not the engine. Give up after timeout so the ladder always
+    completes (the load is logged per-trial either way).
+    """
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_sec:
+        with open("/proc/loadavg") as f:
+            if float(f.read().split()[0]) < threshold:
+                return
+        time.sleep(20)
+
+
 def run_once(cpus: int, n_urls: int) -> dict:
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_KERNEL_URLS=str(n_urls),
         SPARK_DRIVER_MEM="48g",
+    )
+    wait_quiet(
+        float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5")),
+        float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "900")),
     )
     with open("/proc/loadavg") as f:
         load_before = f.read().split()[0]

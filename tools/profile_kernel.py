@@ -18,7 +18,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from warchaeology_spark.frontier.politeness import politeness_topk  # noqa: E402
 from warchaeology_spark.frontier.seen import SeenState  # noqa: E402
-from warchaeology_spark.functions.urls import canonical_parts  # noqa: E402
+from warchaeology_spark.functions.urls import canonicalize_url, parts_from_canon  # noqa: E402
 from warchaeology_spark.session import get_spark  # noqa: E402
 
 
@@ -57,27 +57,53 @@ def main() -> None:
         dt = time.monotonic() - t0
         print(f"{name}: {dt:.1f}s ({n_urls/dt/1000:.0f}k URLs/s) -> {r}", flush=True)
 
-    cand_plan = (
-        urls.select(canonical_parts(F.col("raw_url")).alias("_cp"))
-        .select("_cp.url_canon", "_cp.surt", "_cp.host")
-        .filter(F.col("url_canon").isNotNull())
-        .select("url_canon", "surt", "host", F.xxhash64("surt").alias("url_hash"),
-                F.lit(0).alias("depth"))
-    )
+    # two-step parse, mirroring bench.py run_kernel: stage 1a materializes
+    # ONLY url_canon; stage 1b derives surt/host/hash via byte-scan
+    # intrinsics from the clean canonical string.
     box = {}
-    def mat():
-        box["cand"] = cand_plan.localCheckpoint(eager=True)
+    def canon():
+        box["canon"] = (
+            urls.select(canonicalize_url(F.col("raw_url")).alias("url_canon"))
+            .filter(F.col("url_canon").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        return box["canon"].rdd.getNumPartitions()
+    stage("1a canonicalize+materialize", canon)
+    def derive():
+        d = parts_from_canon(F.col("url_canon"))
+        box["cand"] = (
+            box["canon"].select(
+                "url_canon", d["surt"].alias("surt"), d["host"].alias("host")
+            )
+            .select("url_canon", "surt", "host",
+                    F.xxhash64("surt").alias("url_hash"),
+                    F.lit(0).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
         return box["cand"].rdd.getNumPartitions()
-    stage("1 parse+materialize", mat)
+    stage("1b derive surt/host/hash", derive)
+    cand_plan = box.get("cand")
     def nov():
         box["novel"] = seen.novel(box["cand"]).localCheckpoint(eager=True)
         return box["novel"].count()
     stage("2 bloom+anti-join", nov)
     stage("3 politeness topk", lambda: politeness_topk(box["novel"], pol, default_budget=16, n_salts=8).count())
+    # full kernel exactly as bench.py run_kernel stages it (canon checkpoint
+    # inside), end-to-end timing for cross-checking the ladder numbers
     t0 = time.monotonic()
-    n = politeness_topk(seen.novel(cand_plan), pol, default_budget=16, n_salts=8).count()
+    canon_step = (
+        urls.select(canonicalize_url(F.col("raw_url")).alias("url_canon"))
+        .filter(F.col("url_canon").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    d2 = parts_from_canon(F.col("url_canon"))
+    full_cand = canon_step.select(
+        "url_canon", d2["surt"].alias("surt"), d2["host"].alias("host")
+    ).select("url_canon", "surt", "host", F.xxhash64("surt").alias("url_hash"),
+             F.lit(0).alias("depth"))
+    n = politeness_topk(seen.novel(full_cand), pol, default_budget=16, n_salts=8).count()
     dt = time.monotonic() - t0
-    print(f"UNSTAGED full: {dt:.1f}s ({n_urls/dt/1000:.0f}k URLs/s) sched={n}", flush=True)
+    print(f"FULL kernel (two-step): {dt:.1f}s ({n_urls/dt/1000:.0f}k URLs/s) sched={n}", flush=True)
     spark.stop()
 
 

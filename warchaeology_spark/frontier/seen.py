@@ -266,10 +266,42 @@ class SeenState:
             .cogroup(cands_p.groupBy("pid"))
             .applyInPandas(test_partition, schema)
         )
-        definitely_new = tested.filter(~F.col("maybe_seen"))
-        maybe = tested.filter(F.col("maybe_seen"))
-        resolved_new = maybe.join(self.seen.select("surt"), "surt", "left_anti")
-        return definitely_new.unionByName(resolved_new).drop("maybe_seen", "pid")
+        return self._fpp_filter(tested).drop("maybe_seen", "pid")
+
+    def _fpp_filter(self, tested: DataFrame) -> DataFrame:
+        """Single-pass novel filter with shuffle-slim false-positive rescue.
+
+        ``tested`` = candidates + a ``maybe_seen`` bloom verdict. Novel =
+        bloom-miss rows, PLUS bloom-hit rows that are NOT actually in the
+        seen table (false positives). Two structural choices for scale:
+
+        1. The exact anti-join that finds the false positives runs on a
+           slim (url_hash, surt) projection — shuffling full candidate
+           rows (canonical URL + host strings) through it would multiply
+           the exchange bytes for no information. Survivor count is
+           bounded by fpp x |candidates| (the novel rows that
+           false-positived), so the rescue set is always broadcastable at
+           a sane fpp.
+        2. The output is ONE scan of ``tested`` with a broadcast probe
+           (bloom-miss OR fpp-survivor), not a union of two filter
+           branches: Catalyst evaluates union branches independently, so
+           the branchy shape re-runs the candidate lineage (parse +
+           bloom UDF) once per branch; this shape runs the full-width
+           lineage once.
+        """
+        keys = ["url_hash", "surt"]
+        survivors = (
+            tested.filter(F.col("maybe_seen"))
+            .select(*keys)
+            .join(self.seen.select(*keys), keys, "left_anti")
+            .distinct()  # candidate dupes must not multiply the left join
+            .withColumn("_fpp", F.lit(True))
+        )
+        return (
+            tested.join(F.broadcast(survivors), keys, "left")
+            .filter(~F.col("maybe_seen") | F.col("_fpp").isNotNull())
+            .select(tested.columns)  # join-on-list reorders; restore
+        )
 
     def _refresh_chain(self) -> None:
         """Broadcast only the shards dirtied since the last broadcast; the
@@ -319,10 +351,7 @@ class SeenState:
             return pd.Series(out)
 
         tested = cands.withColumn("maybe_seen", bloom_maybe(F.col("url_hash")))
-        definitely_new = tested.filter(~F.col("maybe_seen"))
-        maybe = tested.filter(F.col("maybe_seen"))
-        resolved_new = maybe.join(self.seen.select("surt"), "surt", "left_anti")
-        return definitely_new.unionByName(resolved_new).drop("maybe_seen")
+        return self._fpp_filter(tested).drop("maybe_seen")
 
     def checkpoint_to(self, write_fn) -> None:
         """Materialize state via the caller-provided writer (checkpoint.py)."""

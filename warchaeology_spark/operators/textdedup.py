@@ -449,3 +449,22 @@ def dedup_clusters(
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus compaction: drop every non-canonical member of each near-dup
+    cluster, keeping the cluster head (min doc_id) plus all unclustered docs.
+
+    The final step of the dedup pipeline (pairs -> dedup_clusters -> compact);
+    mirrors cmd/dedup/dedup.go's keep-first-occurrence semantics at cluster
+    granularity. Scale shape: one broadcast-or-shuffle LEFT ANTI join on the
+    doc id — the drop list is |clusters| - |components| rows (small relative
+    to the corpus), so Spark broadcasts it when it fits and AQE handles the
+    rest; the documents scan itself is never shuffled.
+    """
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(drop, on=id_col, how="left_anti")

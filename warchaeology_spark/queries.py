@@ -32,6 +32,7 @@ from warchaeology_spark.functions.urls import canonicalize_url, surt_key
 from warchaeology_spark.operators.similarity import cosine
 from warchaeology_spark.operators.textdedup import (
     dedup_clusters,
+    dedup_keep_canonical,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -819,6 +820,44 @@ def dedup_clusters_q(spark, sf):
     similarity graph it needs min-label propagation (textdedup.dedup_clusters).
     """
     return dedup_clusters(minhash_lsh_pairs(T(spark, sf, "documents")))
+
+
+@q(
+    "dedup_compact_corpus",
+    _MINHASH_SQL_SIGS
+    + f"""
+    , sigs AS (SELECT doc_id, {_minhash_sig_exprs_sql()} FROM sh)
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, sig_0::varchar || ':' || sig_1::varchar AS band_sig FROM sigs
+      UNION ALL SELECT doc_id, 1, sig_2::varchar || ':' || sig_3::varchar FROM sigs
+      UNION ALL SELECT doc_id, 2, sig_4::varchar || ':' || sig_5::varchar FROM sigs
+      UNION ALL SELECT doc_id, 3, sig_6::varchar || ':' || sig_7::varchar FROM sigs
+    )
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    , e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs)
+    , labeled AS (
+      SELECT node, min(root) AS cluster_id FROM (
+        WITH RECURSIVE r(node, root) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.d, r.root FROM r JOIN e ON e.s = r.node
+        ) SELECT node, root FROM r
+      ) GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM labeled WHERE node != cluster_id)
+    """,
+)
+def dedup_compact_corpus_q(spark, sf):
+    """Full dedup pipeline: LSH pairs -> clusters -> keep one doc per cluster."""
+    docs = T(spark, sf, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs))
+    return dedup_keep_canonical(docs, clusters).select("doc_id", "lang", "n_chars")
 
 
 def _simhash_sql(bits: int = 16) -> str:
