@@ -126,6 +126,15 @@ def run_kernel(spark, n_urls: int) -> dict:
     seen_state = SeenState(
         spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True
     )
+    # NOTE (measured negative result, round 3): caching seen
+    # pre-partitioned + pre-sorted on the anti-join keys (repartition +
+    # sortWithinPartitions + persist — the local emulation of the
+    # production Iceberg bucket(url_hash) layout) removes the seen-side
+    # exchange+sort from the plan but is ~40% SLOWER here: local-mode
+    # shuffles are memory-speed, while the InMemoryRelation scan loses
+    # whole-stage codegen at the SMJ probe. On a real cluster the traded
+    # network shuffle of the (large) seen side dominates and bucketing
+    # wins; locally the checkpointed slim join is the right plan.
     pre = spark.range(0, n_urls, 2, numPartitions=cpus).select(
         F.format_string("com,example,host%d)/p/%d?a=1&b=%d",
                         F.pmod(F.col("id"), F.lit(n_hosts)), F.col("id"),
