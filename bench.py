@@ -199,15 +199,26 @@ def run_kernel(spark, n_urls: int) -> dict:
             )
         )
 
-    t0 = time.monotonic()
-    n_sched = run_pass(urls)
-    elapsed = time.monotonic() - t0
+    # Best-of-k timed passes (JMH-style steady-state iterations): the box
+    # is co-tenanted with BURSTY contention, so a single 50-130 s pass
+    # usually straddles a neighbour's burst; the fastest of k passes is
+    # the steady-state estimate with the neighbour factored out. Per-pass
+    # times are reported for transparency.
+    passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "1"))
+    pass_times = []
+    n_sched = 0
+    for _ in range(max(passes, 1)):
+        t0 = time.monotonic()
+        n_sched = run_pass(urls)
+        pass_times.append(round(time.monotonic() - t0, 2))
+    elapsed = min(pass_times)
     return {
         "n_urls": n_urls,
         "scheduled": n_sched,
         "elapsed_sec": round(elapsed, 2),
         "urls_per_sec": round(n_urls / elapsed, 1),
         "bloom_build_sec": round(bloom_build_sec, 2),
+        "pass_times_sec": pass_times,
     }
 
 
@@ -222,15 +233,20 @@ def run_control(spark, n_rows: int) -> dict:
     c = F.col("id")
     for _ in range(200):
         c = F.xxhash64(c)
-    t0 = time.monotonic()
-    spark.range(n_rows, numPartitions=cpus * 2).select(c.alias("h")).selectExpr(
-        "bit_xor(h)"  # overflow-free combine (sum(h) trips ANSI long overflow)
-    ).collect()
-    dt = time.monotonic() - t0
+    passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "1"))
+    times = []
+    for _ in range(max(passes, 1)):
+        t0 = time.monotonic()
+        spark.range(n_rows, numPartitions=cpus * 2).select(c.alias("h")).selectExpr(
+            "bit_xor(h)"  # overflow-free combine (sum(h) trips ANSI long overflow)
+        ).collect()
+        times.append(round(time.monotonic() - t0, 2))
+    dt = min(times)  # same best-of-k steady-state rule as the kernel
     return {
         "n_rows": n_rows,
         "elapsed_sec": round(dt, 2),
         "rows_per_sec": round(n_rows / dt, 1),
+        "pass_times_sec": times,
     }
 
 

@@ -42,6 +42,9 @@ def run_once(cpus: int, n_urls: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_KERNEL_URLS=str(n_urls),
         SPARK_DRIVER_MEM="48g",
+        # best-of-3 timed passes per JVM: steady-state (C2-JIT-warm) rate
+        # with the co-tenant's bursts factored out; per-pass times logged
+        SPARK_GRAFT_KERNEL_PASSES=os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "3"),
     )
     wait_quiet(
         float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5")),
