@@ -100,3 +100,26 @@ def test_add_without_hint_counts_before_collecting(spark):
     assert not st.broadcast_bloom
     got = {r["url_hash"] for r in st.novel(_urls(spark, [7, 555])).collect()}
     assert got == {555}
+
+
+def test_slim_and_branchy_novel_shapes_agree(spark):
+    """novel() picks its join shape on seen_rows_approx; both shapes must
+    return identical rows (incl. rescuing bloom false positives and keeping
+    within-round duplicate candidates)."""
+    seen_rows = list(range(0, 100, 2))
+    cand_rows = list(range(50, 150)) + [51, 53]  # overlaps + dup candidates
+
+    def run(slim_min):
+        st = SeenState(spark, num_partitions=4, expected_total=1000,
+                       use_bloom=True, slim_join_min_rows=slim_min)
+        st.add(_urls(spark, seen_rows))
+        out = st.novel(_urls(spark, cand_rows))
+        assert out.columns == ["url_hash", "surt", "url_canon"]
+        return sorted((r["url_hash"], r["surt"]) for r in out.collect())
+
+    branchy = run(10**9)  # threshold never reached -> branchy shape
+    slim = run(0)         # always slim shape
+    expect = sorted(
+        (h, f"surt{h}") for h in cand_rows if h not in set(seen_rows)
+    )
+    assert branchy == slim == expect

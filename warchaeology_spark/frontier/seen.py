@@ -96,6 +96,10 @@ class SeenState:
     # cogroup-sharded mode (bit-setting happens on the executors, row
     # data never touches the driver) and stays there.
     broadcast_max_delta: int = 10_000_000
+    # below this many (approx) seen rows novel() keeps the simple branchy
+    # anti-join (AQE broadcasts it whole); above it the shuffle-slim
+    # key-projection + broadcast-rescue shape wins (2x at 8M+ keys)
+    slim_join_min_rows: int = 2_000_000
 
     def __post_init__(self):
         self.m_bits, self.k = _bloom_params(
@@ -104,6 +108,9 @@ class SeenState:
         self.seen: DataFrame = self.spark.createDataFrame(
             [], "url_hash long, surt string, url_canon string"
         )
+        # approximate cumulative seen rows (sum of add() delta hints) —
+        # picks the novel() join shape; order-of-magnitude is enough
+        self.seen_rows_approx: int = 0
         # broadcast-mode state (driver-authoritative)
         self._shards: dict[int, np.ndarray] = {}
         self._dirty: set[int] = set()
@@ -192,12 +199,15 @@ class SeenState:
         same guarantee."""
         rows = urls.select("url_hash", "surt", "url_canon")
         self.seen = self.seen.unionByName(rows)
+        if n_rows is not None:
+            self.seen_rows_approx += n_rows
         if not self.use_bloom:
             return
         m_bits, k = self.m_bits, self.k
         if self.broadcast_bloom:
             if n_rows is None:
                 n_rows = rows.count()
+                self.seen_rows_approx += n_rows
             if n_rows > self.broadcast_max_delta:
                 self._switch_to_sharded()  # falls through to cogroup path
         if self.broadcast_bloom:
@@ -289,6 +299,15 @@ class SeenState:
            bloom UDF) once per branch; this shape runs the full-width
            lineage once.
         """
+        if self.seen_rows_approx < self.slim_join_min_rows:
+            # small-state shape: AQE broadcasts the whole anti-join at this
+            # size, and the slim shape's extra stages (survivor distinct +
+            # broadcast build + probe join) are pure fixed latency here
+            # (~1 s/round measured at toy rounds)
+            definitely_new = tested.filter(~F.col("maybe_seen"))
+            maybe = tested.filter(F.col("maybe_seen"))
+            resolved = maybe.join(self.seen.select("surt"), "surt", "left_anti")
+            return definitely_new.unionByName(resolved)
         keys = ["url_hash", "surt"]
         survivors = (
             tested.filter(F.col("maybe_seen"))
@@ -361,5 +380,8 @@ class SeenState:
 
     def restore(self, seen: DataFrame, bloom: DataFrame | None) -> None:
         self.seen = seen
+        # resumed state size is unknown without an action; assume large so
+        # novel() picks the scale-safe join shape (semantics identical)
+        self.seen_rows_approx = max(self.seen_rows_approx, self.slim_join_min_rows)
         if bloom is not None:
             self.bloom = bloom  # broadcast mode: seeds driver shards (setter)
