@@ -367,3 +367,43 @@ def test_dedup_keep_canonical_drops_only_non_heads(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, clusters).collect())
     # heads 0 and 1 kept; members 3 and 4 dropped; unclustered 2 and 5 kept
     assert kept == [0, 1, 2, 5]
+
+
+def test_media_real_wav_codec_in_strict_mode(spark):
+    """PCM-WAV decode is REAL: a stdlib-wave-written stereo 16-bit file
+    round-trips through strict-mode decode_media with audio-stat features."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    rate, dur = 8000, 0.5
+    n = int(rate * dur)
+    t = np.arange(n) / rate
+    left = (np.sin(2 * math.pi * 440 * t) * 0.5 * 32767).astype("<i2")
+    right = (np.sin(2 * math.pi * 440 * t) * 0.5 * 32767).astype("<i2")
+    frames = np.empty(2 * n, dtype="<i2")
+    frames[0::2], frames[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames.tobytes())
+    df = spark.createDataFrame(
+        [("d1", "clip.wav", 0, "audio", bytearray(buf.getvalue()))],
+        "doc_id string, media_ref string, span_offset int, media_type string,"
+        " content binary",
+    )
+    r = decode_media(df, strict=True).collect()[0]
+    assert r["codec"] == "wav"
+    f = r["features"]
+    assert len(f) == 16
+    np.testing.assert_allclose(f[0], dur / 3600.0, rtol=1e-3)   # duration
+    np.testing.assert_allclose(f[1], 2 / 8.0)                   # channels
+    np.testing.assert_allclose(f[2], rate / 96000.0, rtol=1e-6)  # rate
+    # 0.5-amplitude sine: RMS = 0.5/sqrt(2), peak ~0.5, flat energy profile
+    np.testing.assert_allclose(f[3], 0.5 / np.sqrt(2), rtol=1e-2)
+    np.testing.assert_allclose(f[4], 0.5, rtol=1e-2)
+    np.testing.assert_allclose(f[6:14], [1 / 8.0] * 8, rtol=1e-2)

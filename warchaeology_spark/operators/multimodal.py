@@ -3,9 +3,9 @@
 Images/audio/video travel as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery (schema, partition-friendly
 batch shape, Arrow-batched UDF signatures) is real and tested. Codecs:
-uncompressed 24-bit BMP and binary PPM (P6) are decoded FOR REAL in pure
-numpy (header parse + pixel stats -> a 16-dim feature vector); every
-other format is stubbed (this container ships no PIL/ffmpeg) —
+uncompressed 24-bit BMP, binary PPM (P6) and PCM WAV (8/16-bit) are
+decoded FOR REAL in pure numpy (header parse + pixel/audio stats -> a
+16-dim feature vector); every other format is stubbed (this container ships no PIL/ffmpeg) —
 ``decode_media`` raises NotImplementedError for them in strict mode, or
 emits a deterministic fake feature vector clearly labeled
 ``codec='fake-sha256'`` otherwise.
@@ -125,6 +125,63 @@ def _decode_ppm(data: bytes) -> np.ndarray | None:
     return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 
+def _decode_wav(data: bytes) -> list[float] | None:
+    """16-dim audio features for PCM WAV (8/16-bit, any channel count);
+    None for anything else. Pure struct+numpy — no audio libs.
+
+    Features: duration / channels / sample-rate (normalized), RMS, peak,
+    zero-crossing rate, 8-bin temporal energy profile, mean|x|, std."""
+    import struct
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        sz = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        x = np.frombuffer(pcm, "<i2", count=len(pcm) // 2).astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(pcm, np.uint8).astype(np.float64) - 128.0) / 128.0
+    x = x[: (x.size // channels) * channels]  # tolerate truncated tails
+    if x.size == 0:
+        return None
+    mono = x.reshape(-1, channels).mean(axis=1) if channels > 1 else x
+    n = mono.size
+    duration = n / rate
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.max(np.abs(mono)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    # 8-bin temporal energy profile (density over time)
+    edges = np.linspace(0, n, 9, dtype=np.int64)
+    energy = np.array([
+        float(np.sum(mono[a:b] ** 2)) for a, b in zip(edges[:-1], edges[1:])
+    ])
+    total = energy.sum()
+    profile = (energy / total).tolist() if total > 0 else [0.0] * 8
+    out = [
+        min(duration, 3600.0) / 3600.0,
+        min(channels, 8) / 8.0,
+        min(rate, 96000) / 96000.0,
+        rms, peak, zcr,
+        *profile,
+        float(np.mean(np.abs(mono))),
+        float(np.std(mono)),
+    ]
+    return [float(v) for v in out]
+
+
 def _pixel_features(px: np.ndarray) -> list[float]:
     """16-dim real feature vector: normalized dims, per-channel mean/std,
     8-bin grayscale histogram density."""
@@ -143,7 +200,8 @@ def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode / feature-extract over mapInPandas.
 
     Real codecs: uncompressed 24-bit BMP and binary PPM (P6) -> pixel-stat
-    features (``codec`` = 'bmp'/'ppm'). Everything else needs PIL/ffmpeg
+    features (``codec`` = 'bmp'/'ppm'); PCM WAV (8/16-bit) -> audio-stat
+    features (``codec`` = 'wav'). Everything else needs PIL/ffmpeg
     (absent in this image): strict=True raises NotImplementedError exactly
     where the codec call would go; otherwise a deterministic fake feature
     vector is derived from the content bytes (``codec`` = 'fake-sha256')
@@ -169,10 +227,15 @@ def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
                     )
                     codecs.append(codec)
                     continue
+                wav = _decode_wav(data)
+                if wav is not None:
+                    feats.append(np.asarray(wav, dtype=np.float32).tolist())
+                    codecs.append("wav")
+                    continue
                 if strict:
                     raise NotImplementedError(
                         f"no codec for media bytes (magic {data[:4]!r}): only "
-                        "BMP/P6-PPM decode without PIL/ffmpeg in this image"
+                        "BMP/P6-PPM/PCM-WAV decode without PIL/ffmpeg in this image"
                     )
                 digest = hashlib.sha256(data).digest()
                 feats.append(
