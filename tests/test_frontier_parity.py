@@ -218,3 +218,42 @@ def test_robots_gating_effective(spark, fixture_dir, oracle_result):
     assert denied_hosts
     fetched_hosts = {e["host"] for e in oracle_result.fetch_log}
     assert not (denied_hosts & fetched_hosts)
+
+
+def test_span_sequence_invariant(spark, fixture_dir):
+    """input_hint per-row invariant: the engine's span processing preserves
+    span-sequence equality (kind, text, media_ref, order). Explode -> process
+    -> reassemble-by-position must reproduce each document's span array
+    exactly, and match a driver-side Python reconstruction."""
+    docs = spark.read.parquet(f"{fixture_dir}/documents_spans.parquet")
+    re = (
+        docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "span"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.transform("ps", lambda x: x["span"]).alias("spans_reassembled"),
+        )
+    )
+    joined = docs.join(re, "doc_id", "full")
+    assert joined.filter(
+        F.col("spans").isNull()
+        | F.col("spans_reassembled").isNull()
+        | (F.col("spans") != F.col("spans_reassembled"))
+    ).count() == 0
+    # driver-side reference: tuple-for-tuple, order included
+    eng = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans_reassembled"]
+        ]
+        for r in re.collect()
+    }
+    ref = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in docs.collect()
+    }
+    assert eng == ref
