@@ -114,3 +114,32 @@ def test_simhash_signature_stage_has_no_exchange(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = plan_of(simhash_signatures(df))
     assert "Exchange" not in p, p
+
+
+def test_slim_novel_keeps_wide_columns_out_of_exchanges(spark):
+    """The scale shape of novel(): the fpp anti-join shuffles only the
+    (url_hash, surt) key projection — the wide url_canon column must not
+    appear in any hash-partitioned Exchange — and the survivor rescue is a
+    broadcast, not a shuffle."""
+    from warchaeology_spark.frontier.seen import SeenState
+
+    st = SeenState(spark, num_partitions=4, expected_total=10_000,
+                   use_bloom=True, slim_join_min_rows=0)
+    seen = spark.range(0, 1000, 2).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("s"), F.col("id")).alias("surt"),
+        F.concat(F.lit("http://u"), F.col("id"), F.lit("/wide-payload")).alias("url_canon"),
+    )
+    st.add(seen, n_rows=500)
+    cands = spark.range(1000).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("s"), F.col("id")).alias("surt"),
+        F.concat(F.lit("http://u"), F.col("id"), F.lit("/wide-payload")).alias("url_canon"),
+        F.lit(0).alias("depth"),
+    )
+    plan = plan_of(st.novel(cands), "extended")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastExchange" in phys or "broadcast" in phys.lower()
+    for line in phys.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "url_canon" not in line, line

@@ -407,3 +407,34 @@ def test_media_real_wav_codec_in_strict_mode(spark):
     np.testing.assert_allclose(f[3], 0.5 / np.sqrt(2), rtol=1e-2)
     np.testing.assert_allclose(f[4], 0.5, rtol=1e-2)
     np.testing.assert_allclose(f[6:14], [1 / 8.0] * 8, rtol=1e-2)
+
+
+def test_media_codecs_never_crash_on_fuzzed_bytes():
+    """Codec robustness: arbitrary bytes (incl. truncated headers with the
+    right magics) must decode to None or a well-formed result, never raise —
+    at 100 TB a crashing task is lost work for the whole partition."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    from warchaeology_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm, _decode_wav,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st_.one_of(
+            st_.binary(max_size=256),
+            st_.binary(max_size=200).map(lambda b: b"BM" + b),
+            st_.binary(max_size=200).map(lambda b: b"P6" + b),
+            st_.binary(max_size=200).map(lambda b: b"RIFF" + b[:4] + b"WAVE" + b),
+        )
+    )
+    def check(data):
+        r1 = _decode_bmp(data)
+        assert r1 is None or r1.ndim == 3
+        r2 = _decode_ppm(data)
+        assert r2 is None or r2.ndim == 3
+        r3 = _decode_wav(data)
+        assert r3 is None or len(r3) == 16
+
+    check()

@@ -104,7 +104,10 @@ def _decode_ppm(data: bytes) -> np.ndarray | None:
         if c.isspace():
             pos += 1
         elif c == b"#":
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:  # comment never terminated -> malformed header
+                return None
+            pos = nl + 1
         else:
             end = pos
             while end < len(data) and not data[end:end + 1].isspace():
