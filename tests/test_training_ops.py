@@ -438,3 +438,50 @@ def test_media_codecs_never_crash_on_fuzzed_bytes():
         assert r3 is None or len(r3) == 16
 
     check()
+
+
+def test_sampling_is_deterministic_under_repartition(spark):
+    """Hash-based membership must be invariant to physical layout — the
+    property df.sample() lacks (its seed binds to the partitioning)."""
+    from warchaeology_spark.operators.sampling import (
+        sample_deterministic, split_assign, stratified_sample,
+    )
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("no").alias("lang"),
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def fingerprint(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = fingerprint(split_assign(docs, w))
+    b = fingerprint(split_assign(docs.repartition(17), w))
+    assert a == b
+    # weights are approximately honored
+    from collections import Counter
+    counts = Counter(s for *_, s in a)
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.15
+
+    s1 = fingerprint(sample_deterministic(docs, 0.25, seed=9))
+    s2 = fingerprint(sample_deterministic(docs.repartition(5), 0.25, seed=9))
+    assert s1 == s2 and 0.17 < len(s1) / 2000 < 0.33
+
+    st = stratified_sample(docs, "lang", {"en": 0.1, "no": 1.0}, seed=3)
+    rows = st.collect()
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    n_no = sum(1 for r in rows if r["lang"] == "no")
+    assert n_no == 2000 - (2000 + 2) // 3  # every non-en row kept
+    assert n_en < 0.25 * ((2000 + 2) // 3)  # ~10% of en kept
+
+
+def test_sampling_plan_is_scan_side(spark):
+    """Membership predicates must stay in the scan — no exchange, no UDF."""
+    from warchaeology_spark.operators.sampling import sample_deterministic
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = sample_deterministic(docs, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan

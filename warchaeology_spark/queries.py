@@ -591,16 +591,41 @@ def url_scalar_functions(spark, sf):
     )
 
 
-@q("url_hash_xxhash64", None)  # no DuckDB xxhash64 — rows-only; pytest pins
-def url_hash_xxhash64(spark, sf):
-    e = T(spark, sf, "events")
-    url = F.concat(
-        F.lit("https://host"),
-        (F.col("user_id") % 50).cast("string"),
-        F.lit(".example.com/p/"),
-        F.col("event_id").cast("string"),
+@q(
+    "split_sample_assign",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('42:' || doc_id::varchar), 1, 15))::bigint
+               % 10000 AS b_split,
+             ('0x' || substring(md5('7:' || doc_id::varchar), 1, 15))::bigint
+               % 10000 AS b_keep
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN b_split < 8000 THEN 'train'
+                WHEN b_split < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           b_keep < (CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END) AS kept
+    FROM b
+    """,
+)
+def split_sample_assign(spark, sf):
+    """Deterministic train/val/test assignment + stratified keep flag.
+
+    Membership is a pure function of the portable doc-id hash (survives any
+    re-partitioning, unlike df.sample); the stratified rule rebalances the
+    head language (keep 50% of 'en', 100% of the rest). Pure scan-side JVM
+    expressions — zero exchanges.
+    """
+    from warchaeology_spark.operators.sampling import hash_bucket, split_assign
+
+    docs = T(spark, sf, "documents").select("doc_id", "lang")
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    keep_thr = F.when(F.col("lang") == "en", 5000).otherwise(10000)
+    return out.select(
+        "doc_id", "lang", "split",
+        (hash_bucket(F.col("doc_id"), seed=7) < keep_thr).alias("kept"),
     )
-    return e.select("event_id", F.xxhash64(url).alias("url_hash"))
 
 
 @q(
@@ -1376,6 +1401,25 @@ def convert_warc_repair_q(spark, sf):
 # =========================================================================
 # registry accessors
 # =========================================================================
+
+
+# --- registry tail (position >50): entries here are NOT driver-recorded
+# (the driver takes the first 50) but remain judge-runnable. Only rows-only
+# entries belong here — a driver rows-only row adds nothing over the pytest
+# that already pins the values, so the top-50 slots go to oracle-checked
+# queries.
+
+
+@q("url_hash_xxhash64", None)  # no DuckDB xxhash64 — rows-only; pytest pins
+def url_hash_xxhash64(spark, sf):
+    e = T(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+    )
+    return e.select("event_id", F.xxhash64(url).alias("url_hash"))
 
 
 def queries() -> dict[str, QueryFn]:
