@@ -485,3 +485,37 @@ def test_sampling_plan_is_scan_side(spark):
     plan = sample_deterministic(docs, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_persisted_index_matches_inline_cross_pairs(spark, tmp_path):
+    """Incremental-dedup contract: probing the persisted corpus band index
+    with a new batch yields exactly the corpus-x-new candidate pairs a full
+    LSH over the union would (same hash family)."""
+    from warchaeology_spark.operators.textdedup import (
+        build_minhash_index, minhash_lookup_from_index, minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [(f"c{i}", base + f" variant {i % 3}") for i in range(30)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [("n1", base + " variant 0"), ("n2", "completely different words here"),
+         ("n3", base + " variant 2")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, path)
+    served = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lookup_from_index(spark, path, new).collect()
+    }
+    full = minhash_lsh_pairs(corpus.unionByName(new), portable=False)
+    inline = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a.startswith("n") != b.startswith("n"):
+            (n, c) = (a, b) if a.startswith("n") else (b, a)
+            inline.add((n, c))
+    assert served == inline
+    assert any(nid == "n1" for nid, _ in served)  # near-dup is found
+    assert not any(nid == "n2" for nid, _ in served)  # distinct text is not

@@ -161,19 +161,8 @@ def minhash_lsh_pairs(
     ``portable=False`` uses the xxhash64 signature family (see
     minhash_signatures) — same banding scheme, cheaper hashing.
     """
-    r = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, portable=portable)
-    band_cols = []
-    for b in range(bands):
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(":", *[F.col(f"sig_{b * r + j}") for j in range(r)]).alias("band_sig"),
-            )
-        )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_sig")
+    exploded = _band_table(sigs, id_col, k, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -468,3 +457,82 @@ def dedup_keep_canonical(
     """
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+def _band_table(
+    sigs: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_sig) — one row per LSH band per doc."""
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                ":", *[F.col(f"sig_{b * r + j}") for j in range(r)]
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    portable: bool = False,
+) -> None:
+    """Persist the corpus's LSH band table for incremental dedup probes.
+
+    The production shape for continuous ingestion: hash the 100 TB corpus
+    ONCE, then each new batch probes the stored band table instead of
+    re-signing the world (same build-once/serve-many split as
+    similarity.build_ivf_index). Partitioned by band_idx; join key
+    (band_idx, band_sig) is high-cardinality -> skew-free. Default is the
+    engine's xxhash64 family (cheapest); pass portable=True only if the
+    index must be oracle-reproducible.
+    """
+    import json
+
+    sigs = minhash_signatures(docs, id_col, text_col, k, portable=portable)
+    bt = _band_table(sigs, id_col, k, bands).withColumnRenamed(id_col, "corpus_id")
+    bt.write.mode("overwrite").partitionBy("band_idx").parquet(f"{path}/bands")
+    meta = {"k": k, "bands": bands, "portable": portable,
+            "id_col": id_col, "text_col": text_col}
+    spark = docs.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def minhash_lookup_from_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+) -> DataFrame:
+    """(new_id, corpus_id) candidate near-dup pairs: new batch vs the
+    persisted corpus index. Only the (small) new batch is signed; the
+    stored band table is scanned, never re-hashed. Distinct pairs; feed
+    jaccard_pairs / dedup_clusters downstream exactly like
+    minhash_lsh_pairs output.
+    """
+    import json
+
+    meta = json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
+    sigs = minhash_signatures(
+        new_docs, meta["id_col"], meta["text_col"], meta["k"],
+        portable=meta["portable"],
+    )
+    bt = _band_table(sigs, meta["id_col"], meta["k"], meta["bands"])
+    idx = spark.read.parquet(f"{path}/bands")
+    return (
+        bt.join(idx, ["band_idx", "band_sig"])
+        .filter(F.col(meta["id_col"]) != F.col("corpus_id"))
+        .select(F.col(meta["id_col"]).alias("new_id"), "corpus_id")
+        .distinct()
+    )
