@@ -27,7 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("jvm", "jvm_offheap", "pd_arrow", "pd_arrow_offheap", "regex_onepass")
+VARIANTS = ("jvm", "jvm_offheap", "pd_arrow", "pd_arrow_offheap", "regex_onepass",
+            "parse_url", "parse_url_offheap")
 
 _ONEPASS_PAT = (
     r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:]*)"
@@ -94,6 +95,40 @@ def _canonicalize_onepass(col):
     return F.when(ok, canon)
 
 
+def _canonicalize_parse_url(col):
+    """Spark's built-in parse_url (java.net.URI-based ParseUrl expression,
+    one recursive-descent parse per call — no regex backtracking). Never
+    A/B'd before; semantics differ from the regex chain on messy inputs,
+    so this measures the THROUGHPUT CEILING of the approach — parity work
+    only happens if it wins decisively."""
+    from pyspark.sql import functions as F
+
+    from warchaeology_spark.functions.urls import _with_scheme
+
+    u = _with_scheme(col)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"\.$", "")
+    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(port)
+    path = F.parse_url(u, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    query = F.array_join(F.sort_array(F.array_remove(F.split(query, "&"), "")), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    ok = scheme.isin("http", "https") & (host != "") & host.rlike(r"^[a-z0-9.\-]+$")
+    return F.when(ok, canon)
+
+
 def child(variant: str, cpus: int, n_urls: int) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
@@ -121,6 +156,8 @@ def child(variant: str, cpus: int, n_urls: int) -> None:
         expr = canonicalize_url_lenient(F.col("raw_url"))
     elif variant == "regex_onepass":
         expr = _canonicalize_onepass(F.col("raw_url"))
+    elif variant.startswith("parse_url"):
+        expr = _canonicalize_parse_url(F.col("raw_url"))
     else:
         raise SystemExit(f"unknown variant {variant}")
 
@@ -147,10 +184,12 @@ def main() -> None:
     n_urls = int(os.environ.get("SPARK_GRAFT_AB_URLS", "16000000"))
     cpu_list = [int(c) for c in os.environ.get("SPARK_GRAFT_AB_CPUS", "4,16").split(",")]
     trials = int(os.environ.get("SPARK_GRAFT_AB_TRIALS", "2"))
+    sel = os.environ.get("SPARK_GRAFT_AB_VARIANTS")
+    variants = tuple(sel.split(",")) if sel else VARIANTS
     results = []
     for _ in range(trials):
         for cpus in cpu_list:
-            for variant in VARIANTS:
+            for variant in variants:
                 busy = busy_fraction()
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--child",
@@ -166,8 +205,14 @@ def main() -> None:
                 rec["busy_before"] = busy
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
-    with open("BENCH/ab_parse.json", "w") as f:
-        json.dump(results, f, indent=2)
+    out_path = "BENCH/ab_parse.json"
+    try:
+        with open(out_path) as f:
+            prior = json.load(f)
+    except Exception:
+        prior = []
+    with open(out_path, "w") as f:
+        json.dump(prior + results, f, indent=2)
 
 
 if __name__ == "__main__":
