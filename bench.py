@@ -185,6 +185,22 @@ def run_kernel(spark, n_urls: int) -> dict:
         scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)
         return scheduled.count()
 
+    # Pass-local checkpoint hygiene: each run_pass localCheckpoints the
+    # canon step; without explicit release those cached RDDs accumulate
+    # across passes until storage memory forces spilling (measured at 64M
+    # URLs: the second pass ran 1.7x slower than the first). Snapshot the
+    # persistent RDD ids that must survive (inputs, seen, politeness) and
+    # free everything newer after each pass — a long-running driver does
+    # the same between rounds.
+    jsc = spark.sparkContext._jsc
+    keep_ids = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def free_pass_rdds():
+        cur = jsc.getPersistentRDDs()
+        for rid in cur.keySet().toArray():
+            if int(rid) not in keep_ids:
+                cur.get(rid).unpersist(False)
+
     # Untimed warmup over a slice: JIT-compiles the whole-stage-codegen
     # classes, Arrow serializers and shuffle paths so the timed pass
     # measures STEADY-STATE throughput — the operative number for a crawl
@@ -198,6 +214,7 @@ def run_kernel(spark, n_urls: int) -> dict:
                 raw.alias("raw_url")
             )
         )
+        free_pass_rdds()
 
     # Best-of-k timed passes (JMH-style steady-state iterations): the box
     # is co-tenanted with BURSTY contention, so a single 50-130 s pass
@@ -211,6 +228,7 @@ def run_kernel(spark, n_urls: int) -> dict:
         t0 = time.monotonic()
         n_sched = run_pass(urls)
         pass_times.append(round(time.monotonic() - t0, 2))
+        free_pass_rdds()
     elapsed = min(pass_times)
     return {
         "n_urls": n_urls,
