@@ -124,6 +124,19 @@ def run_crawl(
     config: CrawlConfig = CrawlConfig(),
 ) -> CrawlResult:
     store = SnapshotStore(spark, config.store_root) if config.store_root else None
+    if store and not config.resume and store.latest_version() is not None:
+        # A fresh crawl must not chain onto an old crawl's append deltas:
+        # commit() extends the chain from manifest(latest), so committing
+        # v=latest+1 here would union the OLD crawl's seen/fetch_log files
+        # into this crawl's state after the first in-loop restore (stale
+        # seen rows suppressing new URLs, stale fetch rows leaking into the
+        # result). Fail fast; the caller either resumes or points at a
+        # fresh root. (ADVICE r3 #1.)
+        raise ValueError(
+            f"store root {config.store_root!r} already holds snapshot "
+            f"v{store.latest_version()}; pass resume=True to continue that "
+            "crawl, or use an empty store root for a fresh crawl"
+        )
     seen_state = SeenState(
         spark,
         num_partitions=config.num_partitions,
@@ -148,9 +161,22 @@ def run_crawl(
         metrics = list(m.get("metrics", []))
         partition_metrics = list(m.get("partition_metrics", []))
         pending = store.load("pending")
+        # apply the committed seen-state mode BEFORE restore: a crawl that
+        # auto-demoted to sharded must resume sharded (ADVICE r3 #4), and
+        # bloom setter semantics depend on the mode. Pre-r4 manifests have
+        # no seen_state entry -> keep the configured defaults.
+        ss_meta = m.get("seen_state", {})
+        if not ss_meta.get("broadcast_bloom", seen_state.broadcast_bloom):
+            seen_state.broadcast_bloom = False
+        committed_rows = ss_meta.get("seen_rows_approx")
+        if committed_rows is not None:
+            seen_state.seen_rows_approx = int(committed_rows)
         seen_state.restore(
             store.load("seen"),
             store.load("bloom") if config.use_bloom else None,
+            # with an exact committed count the join-shape choice is
+            # informed; only assume-large when resuming a pre-r4 manifest
+            assume_large=committed_rows is None,
         )
         if "fetch_log" in store.manifest()["tables"]:
             fetch_log_base = store.load("fetch_log")
@@ -298,6 +324,18 @@ def run_crawl(
                     "next_round": r + 1,
                     "metrics": metrics,
                     "partition_metrics": partition_metrics,
+                    # seen-state mode must survive resume: a crawl that
+                    # auto-demoted to cogroup-sharded must NOT resume into
+                    # broadcast mode (restore would collect the full bitset
+                    # set — ~3 GB at the 10^10 design point — to the driver
+                    # and re-enter the mode the demotion guard escaped).
+                    # The exact row count lets resume keep the right
+                    # novel() join shape without an extra action.
+                    # (ADVICE r3 #4.)
+                    "seen_state": {
+                        "broadcast_bloom": seen_state.broadcast_bloom,
+                        "seen_rows_approx": seen_state.seen_rows_approx,
+                    },
                 },
                 append={"seen": sd, "fetch_log": fl},
             )
@@ -313,9 +351,14 @@ def run_crawl(
             # seeded from the store only on an actual resume.
             pending = store.load("pending")
             reload_bloom = config.use_bloom and not seen_state.broadcast_bloom
+            # assume_large=False: this is the in-loop lineage-truncation
+            # restore — seen_rows_approx is already exact via add() hints;
+            # inflating it would lock toy crawls onto the slim-join shape's
+            # fixed per-round latency (ADVICE r3 #2)
             seen_state.restore(
                 store.load("seen"),
                 store.load("bloom") if reload_bloom else None,
+                assume_large=False,
             )
             fetch_log_base = store.load("fetch_log")
         r += 1

@@ -378,10 +378,18 @@ class SeenState:
         if self.use_bloom:
             write_fn("bloom", self.bloom)
 
-    def restore(self, seen: DataFrame, bloom: DataFrame | None) -> None:
+    def restore(
+        self, seen: DataFrame, bloom: DataFrame | None, assume_large: bool = True
+    ) -> None:
+        """``assume_large``: on a true resume the state size is unknown
+        without an action, so assume large and let novel() pick the
+        scale-safe slim-join shape (semantics identical). The scheduler's
+        IN-LOOP lineage-truncation restore passes False — it already
+        tracks the exact approx via add() hints, and inflating it there
+        would permanently switch toy-sized crawls onto the slim join's
+        ~1 s/round fixed latency (ADVICE r3 #2)."""
         self.seen = seen
-        # resumed state size is unknown without an action; assume large so
-        # novel() picks the scale-safe join shape (semantics identical)
-        self.seen_rows_approx = max(self.seen_rows_approx, self.slim_join_min_rows)
+        if assume_large:
+            self.seen_rows_approx = max(self.seen_rows_approx, self.slim_join_min_rows)
         if bloom is not None:
             self.bloom = bloom  # broadcast mode: seeds driver shards (setter)

@@ -71,9 +71,14 @@ def normalize_checksum(ck: Column) -> Column:
     has_label = ck.contains(":")
     algo = F.lower(F.substring_index(ck, ":", 1))
     val = F.substring_index(ck, ":", -1)
-    is_b32_sha1 = (algo == "sha1") & val.rlike("^[A-Z2-7]{32}$")
+    # decode base32 case-insensitively: a correct digest stored as
+    # LOWERCASE base32 must decode too, or it is miscounted as a 'fixed
+    # digest' repair — the exact miscount class this normalization exists
+    # to eliminate (ADVICE r3 #5)
+    val_u = F.upper(val)
+    is_b32_sha1 = (algo == "sha1") & val_u.rlike("^[A-Z2-7]{32}$")
     hex_val = F.when(
-        is_b32_sha1, F.concat(*[_b32_group_hex(val, i) for i in range(4)])
+        is_b32_sha1, F.concat(*[_b32_group_hex(val_u, i) for i in range(4)])
     ).otherwise(F.lower(val))
     return F.when(~has_label, F.lower(ck)).otherwise(
         F.concat(algo, F.lit(":"), hex_val)

@@ -143,7 +143,10 @@ def _decode_wav(data: bytes) -> list[float] | None:
         cid = data[pos:pos + 4]
         sz = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8:pos + 8 + sz]
-        if cid == b"fmt " and sz >= 16:
+        # trust len(body), not the declared sz: a truncated file can claim
+        # sz>=16 while the sliced body is shorter, and unpack_from would
+        # raise inside the UDF — crawled media is adversarial (ADVICE r3 #3)
+        if cid == b"fmt " and sz >= 16 and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             pcm = body
@@ -219,22 +222,30 @@ def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
             for b in pdf["content"]:
                 data = bytes(b)
                 hashes.append(hashlib.sha256(data).hexdigest())
-                px = _decode_bmp(data)
-                codec = "bmp" if px is not None else None
-                if px is None:
-                    px = _decode_ppm(data)
-                    codec = "ppm" if px is not None else None
-                if px is not None:
-                    feats.append(
-                        np.asarray(_pixel_features(px), dtype=np.float32).tolist()
-                    )
-                    codecs.append(codec)
-                    continue
-                wav = _decode_wav(data)
-                if wav is not None:
-                    feats.append(np.asarray(wav, dtype=np.float32).tolist())
-                    codecs.append("wav")
-                    continue
+                # non-strict contract: malformed media NEVER kills the task
+                # — any decoder exception on adversarial bytes degrades to
+                # the fake feature vector (strict mode re-raises so fuzzing
+                # still surfaces decoder bugs). (ADVICE r3 #3.)
+                try:
+                    px = _decode_bmp(data)
+                    codec = "bmp" if px is not None else None
+                    if px is None:
+                        px = _decode_ppm(data)
+                        codec = "ppm" if px is not None else None
+                    if px is not None:
+                        feats.append(
+                            np.asarray(_pixel_features(px), dtype=np.float32).tolist()
+                        )
+                        codecs.append(codec)
+                        continue
+                    wav = _decode_wav(data)
+                    if wav is not None:
+                        feats.append(np.asarray(wav, dtype=np.float32).tolist())
+                        codecs.append("wav")
+                        continue
+                except Exception:
+                    if strict:
+                        raise
                 if strict:
                     raise NotImplementedError(
                         f"no codec for media bytes (magic {data[:4]!r}): only "
