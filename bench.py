@@ -2,10 +2,17 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the frontier
 throughput metric (BASELINE.json: URLs scheduled/sec).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "frontier": {"urls_scheduled": N, "elapsed_sec": s, "urls_per_sec": r}}
+Prints ONE JSON line with self-describing fields:
+  {"metric": "headline_queries_total_sec", "value": <sum of query secs>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": ...,
+   "headline_seconds": ..., "kernel_urls_per_sec": ...,
+   "frontier_urls_per_sec": ...,
+   "frontier": {"urls_scheduled": N, "elapsed_sec": best-of-k,
+                "pass_times_sec": [...], "loadavg_before": [...]},
+   "kernel": {...}}
+"metric"/"value" always name exactly one number (headline seconds in the
+full bench, frontier URLs/sec in --frontier-only, kernel URLs/sec in
+--kernel-only); the rates are additionally present under their own names.
 
 Modes (argv[1]):
   (none)          full bench: headline queries + frontier throughput
@@ -48,6 +55,22 @@ FRONTIER_TIER = os.environ.get("SPARK_GRAFT_FRONTIER_TIER", "bench")
 FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROUNDS", "3"))
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_quiet() -> None:
+    """Co-tenant gate (same rule as tools/bench_scaling.py): don't start a
+    timed pass under a neighbour's burst; give up after a timeout so the
+    bench always completes (load is logged per pass either way)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "16"))
+    timeout = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "240"))
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout and _loadavg() >= threshold:
+        time.sleep(10)
+
+
 def run_frontier(spark) -> dict:
     from warchaeology_spark.fixtures.generate import (
         gen_documents_spans,
@@ -73,25 +96,60 @@ def run_frontier(spark) -> dict:
         "max_per_round", F.col("max_per_round") * budget_scale
     ).localCheckpoint(eager=True)
 
-    t0 = time.monotonic()
-    res = run_crawl(
-        spark, docs, seeds, robots, pol,
-        CrawlConfig(
-            max_rounds=FRONTIER_ROUNDS,
-            default_budget=2 * budget_scale,
-            num_partitions=max(8, cpus),
-            expected_total=5_000_000,
-            n_salts=max(4, cpus // 4),
-        ),
-    )
-    scheduled = res.fetch_log.count()
-    elapsed = time.monotonic() - t0
+    def one_crawl() -> tuple[int, int, int, float]:
+        t0 = time.monotonic()
+        res = run_crawl(
+            spark, docs, seeds, robots, pol,
+            CrawlConfig(
+                max_rounds=FRONTIER_ROUNDS,
+                default_budget=2 * budget_scale,
+                num_partitions=max(8, cpus),
+                expected_total=5_000_000,
+                n_salts=max(4, cpus // 4),
+            ),
+        )
+        scheduled = res.fetch_log.count()
+        elapsed = time.monotonic() - t0
+        return scheduled, res.seen.count(), res.rounds_run, elapsed
+
+    # pass-local checkpoint hygiene (same as run_kernel): each crawl
+    # localCheckpoints per-round state; free those RDDs between passes so
+    # later passes don't pay storage-memory pressure for earlier ones
+    jsc = spark.sparkContext._jsc
+    keep_ids = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def free_pass_rdds():
+        cur = jsc.getPersistentRDDs()
+        for rid in cur.keySet().toArray():
+            if int(rid) not in keep_ids:
+                cur.get(rid).unpersist(False)
+
+    # Noise discipline (VERDICT r3 wrong #2: a single cold pass swung
+    # 18 -> 103 s with byte-identical outputs under co-tenant load) — the
+    # kernel tier's round-3 treatment applied here: one untimed warmup
+    # crawl (JIT/codegen/Arrow warm), then best-of-k gated passes with
+    # per-pass times and loadavg logged.
+    if os.environ.get("SPARK_GRAFT_FRONTIER_WARMUP", "1") != "0":
+        one_crawl()
+        free_pass_rdds()
+    passes = int(os.environ.get("SPARK_GRAFT_FRONTIER_PASSES", "2"))
+    pass_times, loads = [], []
+    scheduled = seen = rounds = 0
+    for _ in range(max(passes, 1)):
+        _wait_quiet()
+        loads.append(_loadavg())
+        scheduled, seen, rounds, dt = one_crawl()
+        pass_times.append(round(dt, 2))
+        free_pass_rdds()
+    elapsed = min(pass_times)
     return {
         "urls_scheduled": scheduled,
-        "elapsed_sec": round(elapsed, 2),
+        "elapsed_sec": elapsed,
         "urls_per_sec": round(scheduled / elapsed, 1),
-        "rounds": res.rounds_run,
-        "seen": res.seen.count(),
+        "rounds": rounds,
+        "seen": seen,
+        "pass_times_sec": pass_times,
+        "loadavg_before": loads,
     }
 
 
@@ -270,7 +328,7 @@ def run_control(spark, n_rows: int) -> dict:
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from warchaeology_spark.queries import queries
+    from warchaeology_spark.queries import bench_queries, queries
     from warchaeology_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -282,19 +340,23 @@ def main():
 
     out: dict = {"sf": sf_dir, "cpus": cpus, "unit": "sec"}
     qtimes: dict[str, float] = {}
+    # Field semantics (VERDICT r3 wrong #1: one "value" field carried
+    # three different meanings): every rate/total below is its own
+    # correctly-named field; "metric"/"value" name exactly ONE of them.
     if kernel_only:
         n = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "4000000"))
         out["kernel"] = run_kernel(spark, n)
         out["control"] = run_control(
             spark, int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS", "20000000"))
         )
-        out["metric"] = "frontier_urls_scheduled_per_sec"
-        out["value"] = out["kernel"]["elapsed_sec"]
+        out["kernel_urls_per_sec"] = out["kernel"]["urls_per_sec"]
+        out["metric"] = "kernel_urls_per_sec"
+        out["value"] = out["kernel"]["urls_per_sec"]
         print(json.dumps(out))
         spark.stop()
         return
     if not frontier_only:
-        qs = queries()
+        qs = {**queries(), **bench_queries()}
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.monotonic()
@@ -311,10 +373,15 @@ def main():
     out["kernel"] = run_kernel(
         spark, int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "1000000"))
     )
-    out["metric"] = "frontier_urls_scheduled_per_sec"
-    out["value"] = (
-        round(sum(qtimes.values()), 3) if qtimes else out["frontier"]["elapsed_sec"]
-    )
+    out["frontier_urls_per_sec"] = out["frontier"]["urls_per_sec"]
+    out["kernel_urls_per_sec"] = out["kernel"]["urls_per_sec"]
+    if qtimes:
+        out["headline_seconds"] = round(sum(qtimes.values()), 3)
+        out["metric"] = "headline_queries_total_sec"
+        out["value"] = out["headline_seconds"]
+    else:
+        out["metric"] = "frontier_urls_scheduled_per_sec"
+        out["value"] = out["frontier"]["urls_per_sec"]
     print(json.dumps(out))
     spark.stop()
 
