@@ -209,6 +209,51 @@ def test_torn_commit_tmp_manifest_is_harmless(spark, fixture_dir, oracle_result,
     assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
 
 
+def test_auto_demotion_mid_crawl_parity(spark, fixture_dir, oracle_result, tmp_path):
+    """Mid-crawl broadcast->sharded bloom demotion (seen.py
+    broadcast_max_delta) must preserve exact fetch-log/seen parity, the
+    demoted MODE must be recorded in the snapshot meta, and a resume must
+    come back sharded instead of collecting the bitsets to the driver
+    (ADVICE r3 #4; VERDICT r3 next #6)."""
+    from warchaeology_spark.frontier.checkpoint import SnapshotStore
+
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap")
+    # round-0 seed add is small; round-1+ novel counts exceed 5 on this
+    # fixture, so a max_delta of 5 forces a MID-crawl demotion
+    demoted = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=3, num_partitions=4, expected_total=20_000,
+                    broadcast_max_delta=5, store_root=root),
+    )
+    oracle3 = [t for t in _oracle_tuples(oracle_result) if t[0] < 3]
+    assert _fetch_tuples(demoted.fetch_log) == oracle3
+    store = SnapshotStore(spark, root)
+    ss_meta = store.meta()["seen_state"]
+    assert ss_meta["broadcast_bloom"] is False  # demotion happened + persisted
+    # resume must apply the sharded mode BEFORE restore and stay exact
+    resumed = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, num_partitions=4, expected_total=20_000,
+                    broadcast_max_delta=5, store_root=root, resume=True),
+    )
+    assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
+    assert {r["surt"] for r in resumed.seen.collect()} == set(oracle_result.seen)
+
+
+def test_fresh_crawl_refuses_dirty_store(spark, fixture_dir, tmp_path):
+    """resume=False against a root holding an old crawl's snapshots must
+    fail fast: commit() would chain the old crawl's seen/fetch_log deltas
+    into the new crawl's state (ADVICE r3 #1)."""
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap")
+    run_crawl(spark, docs, seeds, robots, pol,
+              CrawlConfig(max_rounds=2, store_root=root))
+    with pytest.raises(ValueError, match="resume=True"):
+        run_crawl(spark, docs, seeds, robots, pol,
+                  CrawlConfig(max_rounds=2, store_root=root))
+
+
 def test_robots_gating_effective(spark, fixture_dir, oracle_result):
     # fixture guarantees one fully-disallowed host; it must never be fetched
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)

@@ -62,6 +62,9 @@ class CrawlConfig:
     n_salts: int = 8
     use_bloom: bool = True
     broadcast_bloom: bool = True  # False -> cogroup-sharded bloom (seen.py)
+    # override SeenState.broadcast_max_delta (rows per add() above which
+    # broadcast mode self-demotes to cogroup-sharded); None = seen.py default
+    broadcast_max_delta: int | None = None
     num_partitions: int = 8
     expected_total: int = 100_000
     store_root: str | None = None  # enables checkpoint/resume
@@ -143,6 +146,11 @@ def run_crawl(
         expected_total=config.expected_total,
         use_bloom=config.use_bloom,
         broadcast_bloom=config.broadcast_bloom,
+        **(
+            {"broadcast_max_delta": config.broadcast_max_delta}
+            if config.broadcast_max_delta is not None
+            else {}
+        ),
     )
     metrics: list[dict] = []
     partition_metrics: list[dict] = []
