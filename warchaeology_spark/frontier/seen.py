@@ -100,6 +100,11 @@ class SeenState:
     # anti-join (AQE broadcasts it whole); above it the shuffle-slim
     # key-projection + broadcast-rescue shape wins (2x at 8M+ keys)
     slim_join_min_rows: int = 2_000_000
+    # slim-shape lever (A/B'd in tools/ab_novel.py): localCheckpoint the
+    # bloom-tested frame before its two consumers (survivor anti-join +
+    # final probe) so the bloom UDF and the candidate lineage evaluate
+    # ONCE instead of twice, at the price of materializing `tested`.
+    fpp_checkpoint_tested: bool = False
 
     def __post_init__(self):
         self.m_bits, self.k = _bloom_params(
@@ -309,6 +314,8 @@ class SeenState:
             resolved = maybe.join(self.seen.select("surt"), "surt", "left_anti")
             return definitely_new.unionByName(resolved)
         keys = ["url_hash", "surt"]
+        if self.fpp_checkpoint_tested:
+            tested = tested.localCheckpoint(eager=True)
         survivors = (
             tested.filter(F.col("maybe_seen"))
             .select(*keys)

@@ -44,22 +44,36 @@ _QUERY_RE = r"\?([^#]*)"
 
 
 def _with_scheme(c: Column) -> Column:
-    """Ensure an explicit scheme so the component regexes apply."""
+    """Ensure an explicit scheme so the component regexes apply.
+
+    startswith('//') not rlike('^//'): byte-scan intrinsic, no
+    Pattern.matcher allocation (r4 A/B, BENCH/ab_parse.json)."""
     t = F.trim(c)
     return (
-        F.when(t.rlike(r"^//"), F.concat(F.lit("http:"), t))
+        F.when(t.startswith("//"), F.concat(F.lit("http:"), t))
         .when(t.rlike(_SCHEME_RE), t)
         .otherwise(F.concat(F.lit("http://"), t))
     )
 
 
 def url_parts(url: Column | str) -> Column:
-    """Struct<scheme,host,port,path,query> parsed with JVM regexes."""
+    """Struct<scheme,host,port,path,query> parsed with JVM expressions.
+
+    Mixed regex/intrinsic chain (r4 A/B `jvm_intrinsics`, +34%/4-core and
+    +21%/16-core over the all-regex chain, fuzz-verified bit-identical):
+    the three cheapest regex steps are byte-scan ``substring_index`` —
+    - scheme: after ``_with_scheme`` the FIRST ':' always terminates the
+      scheme (scheme chars exclude ':'), so no anchor regex is needed;
+    - userinfo strip: segment after the LAST '@' == greedy ``^.*@`` strip;
+    - host: prefix before the first ':' == ``^([^:]*)``.
+    The auth/path/query extractions stay compiled regexes — the r2
+    shootout showed chains of many allocating intrinsics LOSE to few
+    compiled regex passes; only 1:1 regex->intrinsic swaps win."""
     u = _with_scheme(F.col(url) if isinstance(url, str) else url)
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    scheme = F.lower(F.substring_index(u, ":", 1))
     auth = F.regexp_extract(u, _AUTH_RE, 1)
-    hostport = F.regexp_replace(auth, r"^.*@", "")  # strip userinfo
-    host = F.lower(F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"\.$", ""))
+    hostport = F.substring_index(auth, "@", -1)  # strip userinfo (last @)
+    host = F.lower(F.regexp_replace(F.substring_index(hostport, ":", 1), r"\.$", ""))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     port = F.when(
         ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443")),
