@@ -54,6 +54,16 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow batch sizing: 64k records/batch (Spark default 10k) — the
+        # per-batch Python overhead is a FIXED cost per batch, so at high
+        # core counts it dominates the vectorized work; the r4 A/B
+        # (BENCH/ab_novel.json) measured the 16M-row bloom stage at
+        # 8.6 s -> 6.3 s on 16 cores (neutral at 4) from this alone.
+        # maxBytesPerBatch bounds the same batches BY BYTES so blob-heavy
+        # rows (media content, archive members) can never amplify the
+        # bigger record cap into memory blowups.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         # Tungsten off-heap: the string-heavy hot paths are allocation/GC
         # bound at high thread counts — the r3 A/B (BENCH/ab_parse.json)
         # measured the 16M-URL canonicalize stage at 31.0 s on-heap vs
