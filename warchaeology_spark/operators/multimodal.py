@@ -3,7 +3,8 @@
 Images/audio/video travel as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery (schema, partition-friendly
 batch shape, Arrow-batched UDF signatures) is real and tested. Codecs:
-uncompressed 24-bit BMP, binary PPM (P6) and PCM WAV (8/16-bit) are
+uncompressed 24-bit BMP, binary PPM (P6), 8-bit truecolor PNG
+(zlib inflate + scanline unfilter) and PCM WAV (8/16-bit) are
 decoded FOR REAL in pure numpy (header parse + pixel/audio stats -> a
 16-dim feature vector); every other format is stubbed (this container ships no PIL/ffmpeg) —
 ``decode_media`` raises NotImplementedError for them in strict mode, or
@@ -128,6 +129,94 @@ def _decode_ppm(data: bytes) -> np.ndarray | None:
     return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 
+def _png_unfilter(ftypes: np.ndarray, scan: np.ndarray, ch: int) -> np.ndarray | None:
+    """Reverse PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+
+    ``scan``: (h, stride) filtered bytes; ``ftypes``: per-row filter ids.
+    Row-sequential by definition; within a row, Sub is a per-channel
+    modular prefix sum and Up/None are fully vectorized — only
+    Average/Paeth fall back to a per-pixel loop (left-dependence)."""
+    h, stride = scan.shape
+    out = np.zeros((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = scan[y]
+        prev = out[y - 1] if y else zero_row
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: per-channel modular prefix sum
+            rec = line.reshape(-1, ch).astype(np.uint8)
+            out[y] = np.cumsum(rec, axis=0, dtype=np.uint64).astype(np.uint8).ravel()
+        elif f == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+def _decode_png(data: bytes) -> np.ndarray | None:
+    """HxWx3 uint8 RGB for 8-bit non-interlaced truecolor PNG (color type
+    2 = RGB, 6 = RGBA with alpha dropped); None for anything else. Pure
+    zlib+numpy — chunk walk, IDAT inflate, scanline unfilter."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", chunk[:13])
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+        return None
+    if w == 0 or h == 0 or w * h > 64_000_000:  # decompression-bomb guard
+        return None
+    ch = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    px = _png_unfilter(arr[:, 0], arr[:, 1:], ch)
+    if px is None:
+        return None
+    return px.reshape(h, w, ch)[..., :3]  # drop alpha for feature purposes
+
+
 def _decode_wav(data: bytes) -> list[float] | None:
     """16-dim audio features for PCM WAV (8/16-bit, any channel count);
     None for anything else. Pure struct+numpy — no audio libs.
@@ -205,9 +294,10 @@ def _pixel_features(px: np.ndarray) -> list[float]:
 def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode / feature-extract over mapInPandas.
 
-    Real codecs: uncompressed 24-bit BMP and binary PPM (P6) -> pixel-stat
-    features (``codec`` = 'bmp'/'ppm'); PCM WAV (8/16-bit) -> audio-stat
-    features (``codec`` = 'wav'). Everything else needs PIL/ffmpeg
+    Real codecs: uncompressed 24-bit BMP, binary PPM (P6) and 8-bit
+    truecolor PNG -> pixel-stat features (``codec`` = 'bmp'/'ppm'/'png');
+    PCM WAV (8/16-bit) -> audio-stat features (``codec`` = 'wav').
+    Everything else needs PIL/ffmpeg
     (absent in this image): strict=True raises NotImplementedError exactly
     where the codec call would go; otherwise a deterministic fake feature
     vector is derived from the content bytes (``codec`` = 'fake-sha256')
@@ -232,6 +322,9 @@ def decode_media(with_bytes: DataFrame, strict: bool = False) -> DataFrame:
                     if px is None:
                         px = _decode_ppm(data)
                         codec = "ppm" if px is not None else None
+                    if px is None:
+                        px = _decode_png(data)
+                        codec = "png" if px is not None else None
                     if px is not None:
                         feats.append(
                             np.asarray(_pixel_features(px), dtype=np.float32).tolist()
