@@ -176,6 +176,50 @@ def test_unknown_host_and_no_rules_allow(spark):
     assert out[0]["robots_denied"] is False
 
 
+def test_rfc_gate_agrees_with_simple_gate_on_fixture_rules(spark, fixture_dir):
+    """Integration: on the crawl fixture's disallow-only prefix rules
+    (no allow rules, no wildcards) the RFC longest-match gate and the
+    scheduler's simple any-disallow-prefix gate are semantically
+    identical — synthesize robots.txt TEXT from the fixture rule table
+    and assert both paths deny the same URL set."""
+    from warchaeology_spark.frontier.politeness import robots_gate
+    from warchaeology_spark.frontier.scheduler import _init_pending
+
+    robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    disallow = robots.filter(~F.col("allow"))
+    docs = disallow.groupBy("host").agg(
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.array_join(
+                F.transform(
+                    F.collect_list("path_pref"),
+                    lambda p: F.concat(F.lit("Disallow: "), p),
+                ),
+                "\n",
+            ),
+        ).alias("content")
+    )
+    # seeds + one crafted URL under every disallowed prefix (seeds alone
+    # may not touch a denied path at depth 0)
+    urls = _init_pending(seeds).unionByName(
+        disallow.select(
+            F.concat(F.lit("com,"), F.col("host")).alias("surt"),  # distinct key
+            F.concat(F.lit("https://"), "host", "path_pref", F.lit("x")).alias("url_canon"),
+            F.xxhash64("host").alias("url_hash"),
+            "host",
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("src_doc_id"),
+        )
+    )
+    simple = robots_gate(urls, robots)
+    rfc = robots_gate_from_txt(urls, docs, AGENT)
+    a = {(r["url_canon"], r["robots_denied"]) for r in simple.collect()}
+    b = {(r["url_canon"], r["robots_denied"]) for r in rfc.collect()}
+    assert a == b
+    assert any(d for _, d in a)  # the crafted URLs really are denied
+
+
 def test_parse_rule_shape(spark):
     rules = parse_robots_txt(_docs_df(spark), AGENT)
     b = {
