@@ -95,6 +95,36 @@ def test_member_grammar_errors():
     assert "Content-Length" in parse_warc_member(no_len, 0)[2]
 
 
+def test_warc_file_to_cdx_end_to_end(spark, tmp_path):
+    """S1<->S8 integration: WARC files ON DISK -> distributed binaryFile
+    scan -> typed record table -> the existing CDX projection operator.
+    The byte codec feeds the whole ls surface, not just round-trips."""
+    from warchaeology_spark.operators.ls import cdx_projection
+    from warchaeology_spark.sources.warc import read_warc, records_table
+
+    recs = _corpus(4)
+    (tmp_path / "a.warc").write_bytes(b"".join(recs[:2]))
+    (tmp_path / "b.warc.gz").write_bytes(b"".join(gzip_member(r) for r in recs[2:]))
+    table = records_table(read_warc(spark, str(tmp_path)))
+    rows = {
+        (r["file"].rsplit("/", 1)[1], r["offset"]): r for r in table.collect()
+    }
+    assert len(rows) == 4
+    r0 = rows[("a.warc", 0)]
+    assert r0["record_id"] == "urn:uuid:0000-0000"
+    assert r0["record_type"] == "response"
+    assert r0["url"] == "https://example.com/p/0"
+    assert r0["status_code"] == 200
+    assert r0["size"] == len(recs[0])
+    assert bytes(r0["payload"]).startswith(b"HTTP/1.1 200 OK")
+    assert str(r0["ts"]).startswith("2020-01-01")
+    # the ls operator runs directly on the scanned table
+    cdx = cdx_projection(table, "V+11iT-8a100").collect()
+    assert len(cdx) == 4
+    by_url = {c["url"]: c for c in cdx}
+    assert by_url["https://example.com/p/3"]["type"].strip() == "request"
+
+
 def test_spark_scan_and_serialize_roundtrip(spark):
     recs = _corpus()
     plain = b"".join(recs)

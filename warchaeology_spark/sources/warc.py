@@ -209,6 +209,42 @@ def read_warc(spark, path: str) -> DataFrame:
     return scan_warc_bytes(files)
 
 
+def records_table(scanned: DataFrame) -> DataFrame:
+    """Typed record table from scan_warc_bytes rows — the bridge from the
+    byte scan to the operator surface (ls/validate/dedup consume these
+    column names; FIXTURES.md fetch_records schema). Pure column
+    expressions: one map_from_entries over the ordered header list, then
+    typed lifts. Header names are case-insensitive per the WARC spec.
+    Error rows are dropped (the scan already surfaced them)."""
+    ok = scanned.filter(F.col("error").isNull())
+    hmap = F.map_from_entries(
+        F.transform(
+            "headers", lambda h: F.struct(F.lower(h["name"]), h["value"])
+        )
+    )
+    with_map = ok.withColumn("_h", hmap)
+    get = lambda k: F.col("_h").getItem(k)  # noqa: E731
+    status = F.regexp_extract(
+        F.decode(F.substring("content", 1, 64), "UTF-8"),
+        r"^HTTP/[0-9.]+ (\d{3})", 1,
+    )
+    return with_map.select(
+        "file",
+        "offset",
+        F.col("raw_length").alias("size"),
+        F.regexp_replace(get("warc-record-id"), r"^<|>$", "").alias("record_id"),
+        F.coalesce(get("warc-type"), F.lit("unknown")).alias("record_type"),
+        get("warc-target-uri").alias("url"),
+        F.to_timestamp(get("warc-date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        get("warc-ip-address").alias("ip_address"),
+        get("content-type").alias("mime_type"),
+        F.when(status != "", status.cast("int")).alias("status_code"),
+        get("warc-block-digest").alias("checksum"),
+        get("warc-payload-digest").alias("payload_digest"),
+        F.col("content").alias("payload"),
+    )
+
+
 def serialize_warc(records: DataFrame) -> DataFrame:
     """Record rows -> (file, offset, record_bytes binary): the byte-exact
     `cat` emission per record, computed executor-side. Concatenating a
