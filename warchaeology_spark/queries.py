@@ -14,9 +14,11 @@ value-hash after sorting columns BY NAME):
 - timestamps rendered as strings where sub-second formatting could
   diverge.
 
-Queries marked ``oracle = None`` are genuinely non-SQL-expressible
-(xxhash64, approximate LSH) — the driver records the weaker rows-only
-check for those; their exact semantics are pytest-verified instead.
+Every registry entry has an oracle (50/50). Hash families DuckDB cannot
+reproduce (xxhash64, random-hyperplane/KMeans ANN) are driver-checked
+through empty-set AGREEMENT/RECALL-FLOOR queries (the property the
+pytest pins, oracle-expressible as ``SELECT ... WHERE false``); the raw
+fast-path variants stay timeable via ``bench_queries()``.
 """
 
 from __future__ import annotations
@@ -1082,7 +1084,8 @@ def embedding_cosine_topk(spark, sf):
 )
 def embedding_neardup_pairs(spark, sf):
     # label-blocked exact variant (oracle-checkable); the LSH-blocked
-    # approximate variant is ann_lsh_topk below (rows-only)
+    # approximate variant is ann_lsh_topk below (driver-checked via
+    # ann_recall_floor)
     emb = T(spark, sf, "embeddings")
     a = emb.alias("a")
     b = emb.alias("b")
