@@ -53,6 +53,38 @@ def test_robots_gate_broadcasts(spark, fixture_dir):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
+def test_rfc_robots_gate_broadcasts_and_never_multiplies(spark):
+    # the RFC gate must stay ONE broadcast join of per-host rule arrays —
+    # no row multiplication (rules x urls explode) and no cartesian
+    from warchaeology_spark.frontier.robots import robots_gate_from_txt
+
+    urls = spark.createDataFrame(
+        [("https://a.com/p", "a.com")], "url_canon string, host string"
+    )
+    docs = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p")], "host string, content string"
+    )
+    p = plan_of(robots_gate_from_txt(urls, docs))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # gating adds no explode on the URL side: at most one Generate node
+    # (the posexplode inside robots PARSING, on the tiny rule side).
+    # simple mode lists each physical node once (formatted repeats them
+    # in the detail section)
+    simple = plan_of(robots_gate_from_txt(urls, docs), "simple")
+    assert simple.count("Generate") <= 1
+
+
+def test_ann_recall_floor_broadcasts_queries(spark):
+    # both ANN probes and the brute-force rank must broadcast the (tiny)
+    # query/probe side; the corpus is never replicated or cartesianed
+    from warchaeology_spark.queries import ann_recall_floor_q
+
+    p = plan_of(ann_recall_floor_q(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_dim_join_broadcasts(spark):
     from warchaeology_spark.queries import broadcast_dim_join
 

@@ -64,9 +64,15 @@ def parse_robots_txt(
     starts_group = is_ua & ~F.coalesce(
         F.lag(is_ua).over(w), F.lit(False)
     )
-    grouped = lines.withColumn(
-        "grp", F.sum(starts_group.cast("int")).over(w)
-    ).filter(F.col("grp") > 0)  # rules before any UA line bind to nothing
+    grouped = (
+        lines.withColumn("grp", F.sum(starts_group.cast("int")).over(w))
+        .filter(F.col("grp") > 0)  # rules before any UA line bind to nothing
+        # three consumers below (rules, agent matching, has-specific);
+        # without a boundary Catalyst re-runs the posexplode+window parse
+        # per consumer (plan-asserted in test_plans) — parse each
+        # robots.txt ONCE, the table is tiny relative to the frontier
+        .localCheckpoint(eager=True)
+    )
 
     # which groups apply to us? specific token beats '*'; any-specific
     # present -> '*' groups ignored (RFC 9309 §2.2.1)
