@@ -254,6 +254,36 @@ def test_fresh_crawl_refuses_dirty_store(spark, fixture_dir, tmp_path):
                   CrawlConfig(max_rounds=2, store_root=root))
 
 
+def test_crawl_from_robots_txt_documents(spark, fixture_dir, oracle_result):
+    """run_crawl accepts raw robots.txt documents (host, content): the
+    RFC parser runs once per crawl and the crawl is IDENTICAL to one
+    gated by the equivalent pre-parsed prefix table (the fixture rules
+    are disallow-only prefixes, where both semantics coincide)."""
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    txt = (
+        robots.filter(~F.col("allow"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.array_join(
+                    F.transform(
+                        F.collect_list("path_pref"),
+                        lambda p: F.concat(F.lit("Disallow: "), p),
+                    ),
+                    "\n",
+                ),
+            ).alias("content")
+        )
+    )
+    res = run_crawl(
+        spark, docs, seeds, txt, pol,
+        CrawlConfig(max_rounds=3, num_partitions=4, expected_total=20_000),
+    )
+    oracle3 = [t for t in _oracle_tuples(oracle_result) if t[0] < 3]
+    assert _fetch_tuples(res.fetch_log) == oracle3
+
+
 def test_robots_gating_effective(spark, fixture_dir, oracle_result):
     # fixture guarantees one fully-disallowed host; it must never be fetched
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)

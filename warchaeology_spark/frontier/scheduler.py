@@ -152,6 +152,25 @@ def run_crawl(
             else {}
         ),
     )
+    # robots input is either the pre-parsed (host, path_pref, allow)
+    # prefix table (fixture/oracle model, any-disallow-prefix semantics)
+    # or raw robots.txt DOCUMENTS (host, content) — then the RFC 9309
+    # parser runs ONCE per crawl (robots.py; longest-match, allow-tie,
+    # wildcards) and each round gates against the persisted rule table.
+    if "content" in robots.columns:
+        from warchaeology_spark.frontier.robots import (
+            parse_robots_txt,
+            robots_gate_rfc,
+        )
+
+        rules = parse_robots_txt(robots).localCheckpoint(eager=True)
+
+        def gate(df: DataFrame) -> DataFrame:
+            return robots_gate_rfc(df, rules)
+    else:
+        def gate(df: DataFrame) -> DataFrame:
+            return robots_gate(df, robots)
+
     metrics: list[dict] = []
     partition_metrics: list[dict] = []
     # committed vs uncommitted split: commits APPEND only the uncommitted
@@ -189,7 +208,7 @@ def run_crawl(
         if "fetch_log" in store.manifest()["tables"]:
             fetch_log_base = store.load("fetch_log")
     else:
-        gated = robots_gate(_init_pending(seeds), robots)
+        gated = gate(_init_pending(seeds))
         gated = gated.localCheckpoint(eager=True)
         # one action gives the gated total AND the denied count: the seed
         # add gets its delta-size hint and n_pending derives arithmetically
@@ -275,7 +294,7 @@ def run_crawl(
         )
 
         novel = seen_state.novel(discovered)
-        gated = robots_gate(novel, robots).localCheckpoint(eager=True)
+        gated = gate(novel).localCheckpoint(eager=True)
         counts = gated.agg(
             F.count(F.lit(1)).alias("novel"),
             F.sum(F.col("robots_denied").cast("long")).alias("denied"),
