@@ -74,6 +74,11 @@ def parse_warc_member(data: bytes, base: int) -> tuple[dict | None, int, str | N
         value = value[1:] if value.startswith(" ") else value
         headers.append((name, value))
         if name.lower() == "content-length":
+            # gowarc flags a repeated Content-Length as a validation error
+            # (the reference refuses to guess which one sizes the block);
+            # other headers MAY legally repeat (e.g. WARC-Concurrent-To).
+            if length is not None:
+                return None, base, "duplicate Content-Length header"
             try:
                 length = int(value)
             except ValueError:
@@ -131,13 +136,26 @@ def parse_warc_file(name: str, data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":  # per-record gzip members
         try:
             for c_off, c_len, plain in _gzip_members(data):
-                rec, _, err = parse_warc_member(plain, 0)
-                if err or rec is None:
-                    emit(None, c_off, err or "empty gzip member")
-                    break
-                rec["offset"] = c_off        # offsets address the compressed stream
-                rec["raw_length"] = c_len    # (reference offset semantics)
-                emit(rec, c_off, None)
+                # the on-disk convention is one record per member, but the
+                # grammar allows several — the reference reads the stream
+                # continuously and yields them all, so loop to exhaustion
+                # instead of silently dropping trailing records. Offsets
+                # address the COMPRESSED stream (reference semantics): every
+                # record of a member shares the member offset; only the
+                # first carries its compressed length.
+                pos, first = 0, True
+                while pos < len(plain):
+                    rec, nxt, err = parse_warc_member(plain, pos)
+                    if err or rec is None:
+                        emit(None, c_off, err or "empty gzip member")
+                        return out
+                    rec["offset"] = c_off
+                    rec["raw_length"] = c_len if first else 0
+                    emit(rec, c_off, None)
+                    pos, first = nxt, False
+                if first:  # zero-byte member decoded to nothing
+                    emit(None, c_off, "empty gzip member")
+                    return out
         except Exception as e:  # truncated/corrupt member: keep prior records
             emit(None, len(data), f"gzip: {e}")
         return out
@@ -214,20 +232,47 @@ def records_table(scanned: DataFrame) -> DataFrame:
     byte scan to the operator surface (ls/validate/dedup consume these
     column names; FIXTURES.md fetch_records schema). Pure column
     expressions: one map_from_entries over the ordered header list, then
-    typed lifts. Header names are case-insensitive per the WARC spec.
+    typed lifts. Header names are case-insensitive per the WARC spec, and
+    headers MAY legally repeat (e.g. WARC-Concurrent-To on a revisit,
+    gowarc WarcFields) — entries are first-wins-deduped per lowercased
+    name BEFORE building the map, so one legal record can't abort the
+    scan with DUPLICATED_MAP_KEY under the default mapKeyDedupPolicy.
     Error rows are dropped (the scan already surfaced them)."""
     ok = scanned.filter(F.col("error").isNull())
-    hmap = F.map_from_entries(
-        F.transform(
-            "headers", lambda h: F.struct(F.lower(h["name"]), h["value"])
-        )
+    lowered = F.transform(
+        "headers",
+        lambda h: F.struct(
+            F.lower(h["name"]).alias("name"), h["value"].alias("value")
+        ),
     )
-    with_map = ok.withColumn("_h", hmap)
+    first_wins = F.aggregate(
+        lowered,
+        F.array().cast("array<struct<name:string,value:string>>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda p: p["name"] == e["name"]), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    with_map = ok.withColumn("_h", F.map_from_entries(first_wins))
     get = lambda k: F.col("_h").getItem(k)  # noqa: E731
-    status = F.regexp_extract(
-        F.decode(F.substring("content", 1, 64), "UTF-8"),
-        r"^HTTP/[0-9.]+ (\d{3})", 1,
+    # decoded head of the block: the status line for status_code and, for
+    # http request/response blocks, the HTTP header section for mime_type.
+    # The reference's MIMEType reads the HTTP block's Content-Type, NOT
+    # the WARC envelope header (internal/warc/metadata_helpers.go:70-82):
+    # a response record's WARC Content-Type is `application/http;
+    # msgtype=response` while the payload's is e.g. `text/html`.
+    head = F.decode(F.substring("content", 1, 8192), "UTF-8")
+    status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1)
+    http_head = F.substring_index(head, "\r\n\r\n", 1)
+    payload_mime = F.regexp_extract(
+        http_head, r"(?im)^Content-Type:[ \t]*([^\r\n]+)", 1
     )
+    is_http = F.lower(F.coalesce(get("content-type"), F.lit(""))).contains(
+        "application/http"
+    )
+    mime = F.when(
+        is_http,
+        F.when(payload_mime != "", F.trim(payload_mime)),
+    ).otherwise(get("content-type"))
     return with_map.select(
         "file",
         "offset",
@@ -237,7 +282,7 @@ def records_table(scanned: DataFrame) -> DataFrame:
         get("warc-target-uri").alias("url"),
         F.to_timestamp(get("warc-date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
         get("warc-ip-address").alias("ip_address"),
-        get("content-type").alias("mime_type"),
+        mime.alias("mime_type"),
         F.when(status != "", status.cast("int")).alias("status_code"),
         get("warc-block-digest").alias("checksum"),
         get("warc-payload-digest").alias("payload_digest"),
