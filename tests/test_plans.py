@@ -73,6 +73,11 @@ def test_rfc_robots_gate_broadcasts_and_never_multiplies(spark):
     # in the detail section)
     simple = plan_of(robots_gate_from_txt(urls, docs), "simple")
     assert simple.count("Generate") <= 1
+    # the URL path is materialized BEFORE the join (one regexp_extract per
+    # URL row); an inline expression inside the aggregate fold would be
+    # re-evaluated once per rule in the host's array (VERDICT r4 #6)
+    full = plan_of(robots_gate_from_txt(urls, docs))
+    assert full.count("[a-z]+://[^/]+(/.*)$") == 1
 
 
 def test_ann_recall_floor_broadcasts_queries(spark):

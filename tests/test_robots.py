@@ -103,6 +103,14 @@ Disallow: /
 User-agent: spark
 Disallow: /only-this/
 """,
+    # an unknown directive BETWEEN UA lines ends the first UA run, so the
+    # '*' group below is separate and its rules never bind to us
+    "e.com": """
+User-agent: warchaeology-spark
+Crawl-delay: 5
+User-agent: *
+Disallow: /x
+""",
 }
 
 PATHS = [
@@ -237,3 +245,42 @@ def test_parse_rule_shape(spark):
         for r in rules.filter(F.col("host") == "c.com").collect()
     }
     assert "/orphaned-rule-ignored" not in c_pats
+
+
+def test_unknown_directive_ends_ua_run(spark):
+    """Group binding for directives between User-agent lines, aligned
+    with _ref_rules (ADVICE r4): an unknown-but-keyed line (Crawl-delay)
+    ENDS a UA run — the next UA starts a fresh group; a line with no ':'
+    at all is ignored entirely and does NOT end the run."""
+    content = (
+        "User-agent: warchaeology-spark\n"
+        "Crawl-delay: 5\n"
+        "User-agent: otherbot\n"
+        "Disallow: /x\n"
+    )
+    docs = spark.createDataFrame([("e.com", content)], "host string, content string")
+    # Disallow /x binds ONLY to otherbot's (new) group
+    assert parse_robots_txt(docs, AGENT).collect() == []
+    got = parse_robots_txt(docs, "otherbot").collect()
+    assert [(r["pattern"], r["allow"]) for r in got] == [("/x", False)]
+    # matches the sequential reference parser
+    assert _ref_rules(content, AGENT) == []
+    assert _ref_rules(content, "otherbot") == [("/x", False)]
+    # gate outcome: our specific group is empty -> /x allowed for us
+    urls = spark.createDataFrame(
+        [("e.com", "https://e.com/x")], "host string, url_canon string"
+    )
+    (row,) = robots_gate_from_txt(urls, docs, AGENT).collect()
+    assert not row["robots_denied"]
+
+    content2 = (
+        "User-agent: otherbot\n"
+        "garbage line with no colon\n"
+        "User-agent: warchaeology-spark\n"
+        "Disallow: /y\n"
+    )
+    docs2 = spark.createDataFrame([("f.com", content2)], "host string, content string")
+    # the no-colon line is skipped: both UAs share ONE group
+    got2 = parse_robots_txt(docs2, "otherbot").collect()
+    assert [(r["pattern"], r["allow"]) for r in got2] == [("/y", False)]
+    assert _ref_rules(content2, "otherbot") == [("/y", False)]

@@ -55,18 +55,24 @@ def parse_robots_txt(
                 )
             ),
         )
-        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+        # lines without a ':' are ignored entirely (they neither bind nor
+        # end a UA run); lines with an UNKNOWN key (e.g. Crawl-delay) stay
+        # in the stream until after group detection — they end a UA run,
+        # so 'UA: a / Crawl-delay: 5 / UA: b' makes b a NEW group (pinned
+        # in test_robots against the sequential reference parser)
+        .filter(F.instr(F.col("line"), ":") > 0)
     )
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("key") == "user-agent"
-    # a UA line starts a NEW group unless the previous relevant line was
-    # also a UA line (consecutive UA lines share one group)
+    # a UA line starts a NEW group unless the previous line (of ANY key)
+    # was also a UA line (consecutive UA lines share one group)
     starts_group = is_ua & ~F.coalesce(
         F.lag(is_ua).over(w), F.lit(False)
     )
     grouped = (
         lines.withColumn("grp", F.sum(starts_group.cast("int")).over(w))
         .filter(F.col("grp") > 0)  # rules before any UA line bind to nothing
+        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
         # three consumers below (rules, agent matching, has-specific);
         # without a boundary Catalyst re-runs the posexplode+window parse
         # per consumer (plan-asserted in test_plans) — parse each
@@ -141,10 +147,25 @@ def robots_gate_rfc(urls: DataFrame, rules: DataFrame) -> DataFrame:
     per_host = prepared.groupBy(F.col("host").alias("_rhost")).agg(
         F.collect_list("rule").alias("_rules")
     )
-    path = F.regexp_extract(F.col("url_canon"), r"^[a-z]+://[^/]+(/.*)$", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    joined = urls.join(
-        F.broadcast(per_host), urls["host"] == per_host["_rhost"], "left"
+    # materialize the path as a REAL column before the join: the fold
+    # below references it inside an HOF lambda (CodegenFallback), and an
+    # inline expression would be re-evaluated once PER RULE in the host's
+    # array instead of once per URL (VERDICT r4 #6; plan-pinned in
+    # test_plans — one RegExpExtract, not one per rule)
+    # (two projections on purpose: aliasing the extract first keeps
+    # CollapseProject from inlining it twice into the when/otherwise)
+    raw_path = F.regexp_extract(F.col("url_canon"), r"^[a-z]+://[^/]+(/.*)$", 1)
+    with_path = (
+        urls.withColumn("_rawp", raw_path)
+        .withColumn(
+            "_path",
+            F.when(F.col("_rawp") == "", F.lit("/")).otherwise(F.col("_rawp")),
+        )
+        .drop("_rawp")
+    )
+    path = F.col("_path")
+    joined = with_path.join(
+        F.broadcast(per_host), with_path["host"] == per_host["_rhost"], "left"
     )
 
     def fold(acc, r):
@@ -166,7 +187,9 @@ def robots_gate_rfc(urls: DataFrame, rules: DataFrame) -> DataFrame:
         fold,
     )
     denied = F.when(F.col("_rules").isNotNull(), ~best["allow"]).otherwise(F.lit(False))
-    return joined.withColumn("robots_denied", denied).drop("_rhost", "_rules")
+    return joined.withColumn("robots_denied", denied).drop(
+        "_rhost", "_rules", "_path"
+    )
 
 
 def robots_gate_from_txt(
