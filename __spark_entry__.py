@@ -46,18 +46,25 @@ def entry(spark: SparkSession) -> DataFrame:
     seeds = gen_seeds(spark, "t1")
     robots = gen_robots(spark, "t1")
     pol = gen_politeness(spark, "t1")
-    store_root = tempfile.mkdtemp(prefix="flagship_snap_")
-    run_crawl(
-        spark, docs, seeds, robots, pol,
-        CrawlConfig(max_rounds=1, num_partitions=4, expected_total=20_000,
-                    store_root=store_root),
-    )
-    res = run_crawl(
-        spark, docs, seeds, robots, pol,
-        CrawlConfig(max_rounds=2, num_partitions=4, expected_total=20_000,
-                    store_root=store_root, resume=True),
-    )
-    return res.fetch_log
+    # the snapshot store is scratch state for the die/resume demo — clean
+    # it up so repeated flagship runs don't accumulate temp directories.
+    # The returned fetch log is collected from an in-memory frame, so it
+    # stays valid after the store is removed.
+    with tempfile.TemporaryDirectory(prefix="flagship_snap_") as store_root:
+        run_crawl(
+            spark, docs, seeds, robots, pol,
+            CrawlConfig(max_rounds=1, num_partitions=4, expected_total=20_000,
+                        store_root=store_root),
+        )
+        res = run_crawl(
+            spark, docs, seeds, robots, pol,
+            CrawlConfig(max_rounds=2, num_partitions=4, expected_total=20_000,
+                        store_root=store_root, resume=True),
+        )
+        # materialize before the store dir vanishes: the resumed frontier
+        # lineage reads parquet snapshots under store_root lazily
+        fetch_log = res.fetch_log.localCheckpoint(eager=True)
+    return fetch_log
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
