@@ -94,6 +94,19 @@ def test_bloom_sharded_equivalence(spark, fixture_dir, oracle_result):
     assert _fetch_tuples(res.fetch_log) == oracle3
 
 
+def test_bloom_jvm_equivalence(spark, fixture_dir, oracle_result):
+    # JVM BloomFilterMightContain serving mode (zero-Python membership)
+    # must schedule fetch-for-fetch identically too
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=3, use_bloom=True, jvm_bloom=True,
+                    num_partitions=4, expected_total=20_000),
+    )
+    oracle3 = [t for t in _oracle_tuples(oracle_result) if t[0] < 3]
+    assert _fetch_tuples(res.fetch_log) == oracle3
+
+
 def test_salting_does_not_change_semantics(spark, fixture_dir, oracle_result):
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
     res = run_crawl(

@@ -123,3 +123,113 @@ def test_slim_and_branchy_novel_shapes_agree(spark):
         (h, f"surt{h}") for h in cand_rows if h not in set(seen_rows)
     )
     assert branchy == slim == expect
+
+
+def test_jvm_bloom_membership_exact(spark):
+    """JVM serving mode: membership via BloomFilterMightContain must stay
+    exact (false positives rescued by the anti-join) and flag all
+    inserted keys as maybe-seen."""
+    st = SeenState(spark, num_partitions=4, expected_total=40_000,
+                   use_bloom=True, jvm_bloom=True)
+    assert not st.broadcast_bloom and not st.is_sharded
+    st.add(_urls(spark, list(range(0, 100, 2))))
+    got = {r["url_hash"] for r in st.novel(_urls(spark, [2, 3, 50, 51, 777])).collect()}
+    assert got == {3, 51, 777}
+    # incremental adds keep working against the same driver bitset
+    st.add(_urls(spark, [3, 51]))
+    got = {r["url_hash"] for r in st.novel(_urls(spark, [3, 51, 778])).collect()}
+    assert got == {778}
+
+
+def test_jvm_bloom_blob_readable_by_jvm(spark):
+    """The driver-built bitset must be bit-compatible with the JVM's
+    BloomFilter.readFrom/mightContainLong (the expression path depends on
+    it) — checked element by element against the numpy twin."""
+    import numpy as np
+
+    from warchaeology_spark.frontier.seen import (
+        _jvm_bloom_serialize,
+        _jvm_test_bits,
+    )
+
+    st = SeenState(spark, num_partitions=4, expected_total=10_000,
+                   use_bloom=True, jvm_bloom=True)
+    keys = list(range(-500, 500, 3))
+    st.add(_urls(spark, keys))
+    blob = _jvm_bloom_serialize(st._jvm_words, st.jvm_k)
+    jvm = spark.sparkContext._jvm
+    jbf = jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+    probe = np.array(keys + list(range(10_000, 10_400)), dtype=np.int64)
+    py = _jvm_test_bits(st._jvm_words, probe, st.jvm_m_bits, st.jvm_k)
+    assert py[: len(keys)].all()  # every inserted key present
+    for v, expect in zip(probe.tolist(), py.tolist()):
+        assert jbf.mightContainLong(v) == expect
+
+
+def test_jvm_bloom_checkpoint_roundtrip(spark):
+    st = SeenState(spark, num_partitions=4, expected_total=40_000,
+                   use_bloom=True, jvm_bloom=True)
+    st.add(_urls(spark, list(range(30))))
+    snap_bloom = st.bloom.localCheckpoint(eager=True)
+    snap_seen = st.seen.localCheckpoint(eager=True)
+    assert snap_bloom.collect()[0]["pid"] == -1  # jvm-format marker row
+
+    st2 = SeenState(spark, num_partitions=4, expected_total=40_000,
+                    use_bloom=True, jvm_bloom=True)
+    st2.restore(snap_seen, snap_bloom)
+    got = {r["url_hash"] for r in st2.novel(_urls(spark, [5, 15, 777])).collect()}
+    assert got == {777}
+
+
+def test_jvm_large_delta_demotes_to_sharded(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    st = SeenState(spark, num_partitions=4, expected_total=40_000,
+                   use_bloom=True, jvm_bloom=True)
+    st.broadcast_max_delta = 50
+    st.add(_urls(spark, list(range(10))))
+    assert st.jvm_bloom and st._jvm_words is not None
+
+    def no_driver_rows(self, *a, **kw):
+        raise AssertionError("row data pulled through the driver on a large delta")
+
+    monkeypatch.setattr(DataFrame, "toPandas", no_driver_rows)
+    st.add(_urls(spark, list(range(1000, 1100))), n_rows=100)
+    assert not st.jvm_bloom and st.is_sharded  # demoted, one-way
+    monkeypatch.undo()
+
+    # pre-demotion AND post-demotion keys both effective after the rebuild
+    got = {r["url_hash"] for r in st.novel(_urls(spark, [3, 1005, 888_888])).collect()}
+    assert got == {888_888}
+
+
+def test_jvm_restore_from_foreign_bloom_rebuilds_from_seen(spark):
+    """Resuming a store written by a DIFFERENT bloom mode must rebuild the
+    JVM bitset from the exact seen table (bit layouts are incompatible; a
+    false negative would re-crawl a seen URL)."""
+    src = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    src.add(_urls(spark, list(range(40))))
+    foreign_bloom = src.bloom.localCheckpoint(eager=True)  # numpy-shard layout
+    seen_snap = src.seen.localCheckpoint(eager=True)
+
+    st = SeenState(spark, num_partitions=4, expected_total=40_000,
+                   use_bloom=True, jvm_bloom=True)
+    st.restore(seen_snap, foreign_bloom)
+    assert st._jvm_words is not None and st._jvm_words.any()
+    got = {r["url_hash"] for r in st.novel(_urls(spark, [7, 21, 999])).collect()}
+    assert got == {999}
+
+
+def test_numpy_modes_refuse_jvm_format_checkpoint(spark):
+    import pytest
+
+    src = SeenState(spark, num_partitions=4, expected_total=40_000,
+                    use_bloom=True, jvm_bloom=True)
+    src.add(_urls(spark, list(range(10))))
+    jvm_bloom_df = src.bloom.localCheckpoint(eager=True)
+
+    st = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
+    with pytest.raises(ValueError, match="jvm serving mode"):
+        st.restore(src.seen, jvm_bloom_df)

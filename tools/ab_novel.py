@@ -13,6 +13,11 @@ SHORT post-parse stages — novel() worst at 0.504 — not canonicalize
 - ckpt:     localCheckpoint(tested) before the two consumers — one bloom
             UDF evaluation total, at the price of materializing the
             tested frame.
+- jvm:      r5: SeenState(jvm_bloom=True) — membership via the codegen'd
+            JVM BloomFilterMightContain expression (driver bitset kept in
+            BloomFilterImpl layout); ZERO Python on the novel path, so
+            the per-batch Arrow fixed cost that bigbatch only shrinks is
+            eliminated outright.
 
 Usage: python tools/ab_novel.py                      # all variants, 4+16
        python tools/ab_novel.py --child V CPUS N     # internal
@@ -28,7 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("base", "bigbatch", "ckpt")
+VARIANTS = ("base", "bigbatch", "ckpt", "jvm")
 
 
 def child(variant: str, cpus: int, n_urls: int) -> None:
@@ -63,7 +68,9 @@ def child(variant: str, cpus: int, n_urls: int) -> None:
                 F.lit(0).alias("depth"))
         .localCheckpoint(eager=True)
     )
-    seen = SeenState(spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True)
+    seen = SeenState(spark, num_partitions=cpus, expected_total=n_urls,
+                     use_bloom=True, jvm_bloom=(variant == "jvm"),
+                     broadcast_max_delta=n_urls)
     pre = (
         spark.range(0, n_urls, 2, numPartitions=cpus)
         .select(

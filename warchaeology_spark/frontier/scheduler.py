@@ -62,6 +62,10 @@ class CrawlConfig:
     n_salts: int = 8
     use_bloom: bool = True
     broadcast_bloom: bool = True  # False -> cogroup-sharded bloom (seen.py)
+    # True -> JVM BloomFilterMightContain serving mode (seen.py jvm_bloom):
+    # membership stays whole-stage-codegen JVM, zero Python on the novel
+    # path; add() keeps the 8 B/URL delta pull. Overrides broadcast_bloom.
+    jvm_bloom: bool = False
     # override SeenState.broadcast_max_delta (rows per add() above which
     # broadcast mode self-demotes to cogroup-sharded); None = seen.py default
     broadcast_max_delta: int | None = None
@@ -146,6 +150,7 @@ def run_crawl(
         expected_total=config.expected_total,
         use_bloom=config.use_bloom,
         broadcast_bloom=config.broadcast_bloom,
+        jvm_bloom=config.jvm_bloom,
         **(
             {"broadcast_max_delta": config.broadcast_max_delta}
             if config.broadcast_max_delta is not None
@@ -195,6 +200,8 @@ def run_crawl(
         ss_meta = m.get("seen_state", {})
         if not ss_meta.get("broadcast_bloom", seen_state.broadcast_bloom):
             seen_state.broadcast_bloom = False
+        if not ss_meta.get("jvm_bloom", seen_state.jvm_bloom):
+            seen_state.jvm_bloom = False  # demotions are one-way (jvm -> sharded)
         committed_rows = ss_meta.get("seen_rows_approx")
         if committed_rows is not None:
             seen_state.seen_rows_approx = int(committed_rows)
@@ -307,10 +314,10 @@ def run_crawl(
         allowed = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)
         pending = pending.unionByName(allowed).localCheckpoint(eager=True)
         seen_state.seen = seen_state.seen.localCheckpoint(eager=True)
-        if config.use_bloom and not seen_state.broadcast_bloom:
+        if seen_state.is_sharded:
             # sharded mode (configured, or auto-demoted on a large delta):
-            # truncate the cogroup lineage. Broadcast mode keeps its bits
-            # on the driver — nothing to checkpoint here.
+            # truncate the cogroup lineage. Broadcast and jvm modes keep
+            # their bits on the driver — nothing to checkpoint here.
             seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
 
         # derived, not re-counted: pending' = pending - scheduled + allowed
@@ -361,6 +368,7 @@ def run_crawl(
                     # (ADVICE r3 #4.)
                     "seen_state": {
                         "broadcast_bloom": seen_state.broadcast_bloom,
+                        "jvm_bloom": seen_state.jvm_bloom,
                         "seen_rows_approx": seen_state.seen_rows_approx,
                     },
                 },
@@ -377,7 +385,7 @@ def run_crawl(
             # round-trip the delta-broadcast chain eliminates. Shards are
             # seeded from the store only on an actual resume.
             pending = store.load("pending")
-            reload_bloom = config.use_bloom and not seen_state.broadcast_bloom
+            reload_bloom = seen_state.is_sharded
             # assume_large=False: this is the in-loop lineage-truncation
             # restore — seen_rows_approx is already exact via add() hints;
             # inflating it would lock toy crawls onto the slim-join shape's

@@ -36,6 +36,85 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _mm3_hash_long(v: np.ndarray, seed) -> np.ndarray:
+    """Vectorized Murmur3_x86_32.hashLong — Spark's sketch hash (public
+    org.apache.spark.unsafe.hash.Murmur3_x86_32 semantics: the long is
+    mixed as two 32-bit lanes, low first). Written from the murmur3 spec
+    so driver-set bits are readable by the JVM's BloomFilterImpl.
+    ``seed`` may be a scalar or a per-element uint32 array."""
+    C1, C2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    def mix_k1(k1):
+        return rotl(k1 * C1, 15) * C2
+
+    def mix_h1(h1, k1):
+        return rotl(h1 ^ k1, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+
+    u = v.astype(np.uint64)
+    low = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    high = (u >> np.uint64(32)).astype(np.uint32)
+    h1 = np.broadcast_to(np.asarray(seed, dtype=np.uint32), low.shape)
+    h1 = mix_h1(h1, mix_k1(low))
+    h1 = mix_h1(h1, mix_k1(high))
+    h1 = h1 ^ np.uint32(8)  # fmix(h1, 8): 8 input bytes
+    h1 ^= h1 >> np.uint32(16)
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 ^= h1 >> np.uint32(13)
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    h1 ^= h1 >> np.uint32(16)
+    return h1
+
+
+def _jvm_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len, k) bit positions matching BloomFilterImpl.putLong/
+    mightContainLong: h1 + i*h2 (i in 1..k) in int32, negative flipped
+    with ~, then modulo the bit size."""
+    h1 = _mm3_hash_long(hashes, 0)
+    h2 = _mm3_hash_long(hashes, h1)
+    i = np.arange(1, k + 1, dtype=np.uint32)
+    combined = (h1[:, None] + i[None, :] * h2[:, None]).view(np.int32)
+    combined = np.where(combined < 0, ~combined, combined)
+    return combined.astype(np.int64) % np.int64(m_bits)
+
+
+def _jvm_set_bits(words: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> None:
+    """OR the key bits into a uint64 word array laid out like the JVM
+    BitArray (bit j of word w = index w*64 + j)."""
+    pos = _jvm_positions(hashes, m_bits, k).ravel()
+    np.bitwise_or.at(
+        words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+    )
+
+
+def _jvm_test_bits(words: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Pure-Python twin of the JVM mightContainLong (agreement tests)."""
+    pos = _jvm_positions(hashes, m_bits, k)
+    bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return (bits != 0).all(axis=1)
+
+
+def _jvm_bloom_serialize(words: np.ndarray, k: int) -> bytes:
+    """Spark BloomFilterImpl V1 stream: version int, numHashFunctions int,
+    BitArray (word count int + big-endian longs). Readable by
+    BloomFilter.readFrom / the BloomFilterMightContain expression."""
+    import struct
+
+    return struct.pack(">iii", 1, k, len(words)) + words.astype(">u8").tobytes()
+
+
+def _jvm_bloom_deserialize(blob: bytes) -> tuple[np.ndarray, int]:
+    import struct
+
+    version, k, n_words = struct.unpack(">iii", blob[:12])
+    if version != 1:
+        raise ValueError(f"unsupported bloom stream version {version}")
+    words = np.frombuffer(blob[12:12 + 8 * n_words], dtype=">u8").astype(np.uint64)
+    return words, k
+
+
 def _bloom_params(expected_per_partition: int, fpp: float) -> tuple[int, int]:
     """(m_bits rounded to a multiple of 64, k) for the target fpp."""
     n = max(expected_per_partition, 1024)
@@ -89,6 +168,18 @@ class SeenState:
     # For blooms too large to broadcast at all, flip to False for the
     # cogroup-sharded path where each task sees only its shard.
     broadcast_bloom: bool = True
+    # JVM serving mode (VERDICT r4 next #1): add() keeps the cheap
+    # 8 B/URL delta pull, but the driver maintains ONE bitset in Spark's
+    # own BloomFilterImpl V1 layout (vectorized numpy Murmur3), so
+    # novel()'s membership test is a codegen'd JVM BloomFilterMightContain
+    # expression — ZERO Python on the membership path (no Arrow batch
+    # round-trips, no pandas UDF fixed cost per batch). The serialized
+    # filter rides the stage's task binary as a binary literal (one copy
+    # per executor per stage, like a broadcast). Mutually exclusive with
+    # broadcast_bloom; demotes to the cogroup-sharded mode on an oversized
+    # delta by REBUILDING the sharded bitsets from the exact seen table
+    # (bloom bits are not translatable between hash layouts).
+    jvm_bloom: bool = False
     # auto-demotion guard (VERDICT r2 #2): broadcast-mode add() pulls the
     # round's url_hash delta through the driver (8 B/URL) — fine at
     # 10^5/round, a ~800 MB single-threaded bottleneck at 10^8. When a
@@ -110,6 +201,14 @@ class SeenState:
         self.m_bits, self.k = _bloom_params(
             self.expected_total // self.num_partitions, self.fpp
         )
+        if self.jvm_bloom:
+            self.broadcast_bloom = False  # modes are mutually exclusive
+        # jvm mode: one UNSHARDED bitset sized for the whole crawl (the
+        # sharded partition scheme would need one literal per shard in the
+        # membership expression). Same applicability envelope as the
+        # broadcast mode — the 10^10 design point stays cogroup-sharded.
+        self.jvm_m_bits, self.jvm_k = _bloom_params(self.expected_total, self.fpp)
+        self._jvm_words: np.ndarray | None = None
         self.seen: DataFrame = self.spark.createDataFrame(
             [], "url_hash long, surt string, url_canon string"
         )
@@ -137,7 +236,21 @@ class SeenState:
 
         Sharded mode: the live distributed table. Broadcast mode: built
         from the driver shards on demand (checkpoint/inspection only — the
-        hot path never materializes it)."""
+        hot path never materializes it). JVM mode: one pid=-1 row holding
+        the serialized BloomFilterImpl stream."""
+        if self.jvm_bloom:
+            words = (
+                self._jvm_words
+                if self._jvm_words is not None
+                else np.zeros(self.jvm_m_bits // 64, dtype=np.uint64)
+            )
+            pdf = pd.DataFrame(
+                {
+                    "pid": pd.Series([-1], dtype="int32"),
+                    "bitset": [_jvm_bloom_serialize(words, self.jvm_k)],
+                }
+            )
+            return self.spark.createDataFrame(pdf)
         if not self.broadcast_bloom:
             return self._bloom_df
         zero = bytes(self.m_bits // 8)
@@ -154,7 +267,18 @@ class SeenState:
 
     @bloom.setter
     def bloom(self, df: DataFrame) -> None:
-        if self.broadcast_bloom:
+        if self.jvm_bloom:
+            rows = df.filter(F.col("pid") == -1).collect()
+            if rows:
+                words, k = _jvm_bloom_deserialize(bytes(rows[0]["bitset"]))
+                self._jvm_words = words.copy()
+                self.jvm_k, self.jvm_m_bits = k, len(words) * 64
+            else:
+                # store written by a different bloom mode: bits are not
+                # format-compatible — restore() rebuilds from the exact
+                # seen table instead (bloom must never miss a seen key)
+                self._jvm_words = None
+        elif self.broadcast_bloom:
             self._seed_shards_from(df)
         else:
             self._bloom_df = df
@@ -164,6 +288,13 @@ class SeenState:
         one full collect at resume, never per round)."""
         self._shards = {}
         for r in df.collect():
+            if int(r["pid"]) < 0:
+                raise ValueError(
+                    "bloom checkpoint was written in jvm serving mode "
+                    "(BloomFilterImpl layout); its bits are not readable "
+                    "by the numpy double-hash modes — resume with "
+                    "jvm_bloom=True (or use_bloom=False)"
+                )
             bits = np.frombuffer(bytes(r["bitset"]), dtype=np.uint8).copy()
             if bits.any():
                 self._shards[int(r["pid"])] = bits
@@ -173,6 +304,13 @@ class SeenState:
         self._dirty = set(self._shards)  # rebroadcast live shards lazily
 
     # -- helpers ------------------------------------------------------------
+    @property
+    def is_sharded(self) -> bool:
+        """True when the bloom lives cluster-side as a (pid, bitset) table
+        (configured, or arrived at by auto-demotion from either driver
+        mode) — the caller must then checkpoint ``bloom`` per round."""
+        return self.use_bloom and not self.broadcast_bloom and not self.jvm_bloom
+
     def _pid(self, col):
         return F.pmod(col, F.lit(self.num_partitions)).cast("int")
 
@@ -187,6 +325,36 @@ class SeenState:
         self._bc_chain = []
         self._shards = {}
         self._dirty = set()
+
+    def _switch_jvm_to_sharded(self) -> None:
+        """Demote jvm mode to the cogroup-sharded mode. Bloom bits cannot
+        be translated between hash layouts (Murmur3/BloomFilterImpl vs the
+        sharded double-hash scheme), so the sharded bitsets are REBUILT
+        from the exact seen table — one distributed pass, once per crawl
+        at most (demotion is one-way), and false negatives are impossible
+        because ``self.seen`` is the source of truth."""
+        self.jvm_bloom = False
+        self._jvm_words = None
+        m_bits, k = self.m_bits, self.k
+
+        def or_partition(key, bloom_pdf, new_pdf):
+            if len(bloom_pdf):
+                bits = np.frombuffer(bloom_pdf["bitset"].iloc[0], dtype=np.uint8).copy()
+            else:
+                bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            if len(new_pdf):
+                _set_bits(bits, new_pdf["url_hash"].to_numpy(), m_bits, k)
+            return pd.DataFrame({"pid": [key[0]], "bitset": [bits.tobytes()]})
+
+        all_hashed = self.seen.select(
+            self._pid(F.col("url_hash")).alias("pid"), "url_hash"
+        )
+        self._bloom_df = (
+            self._bloom_df.groupBy("pid")
+            .cogroup(all_hashed.groupBy("pid"))
+            .applyInPandas(or_partition, "pid int, bitset binary")
+            .localCheckpoint(eager=True)
+        )
 
     # -- api ----------------------------------------------------------------
     def add(self, urls: DataFrame, n_rows: int | None = None) -> None:
@@ -209,6 +377,23 @@ class SeenState:
         if not self.use_bloom:
             return
         m_bits, k = self.m_bits, self.k
+        if self.jvm_bloom:
+            if n_rows is None:
+                n_rows = rows.count()
+                self.seen_rows_approx += n_rows
+            if n_rows > self.broadcast_max_delta:
+                # oversized delta: rebuild sharded bitsets from the exact
+                # seen table (which already includes this delta — union
+                # above) and stay sharded for the rest of the crawl
+                self._switch_jvm_to_sharded()
+                return
+            hv = rows.select("url_hash").toPandas()["url_hash"].to_numpy()
+            if not len(hv):
+                return
+            if self._jvm_words is None:
+                self._jvm_words = np.zeros(self.jvm_m_bits // 64, dtype=np.uint64)
+            _jvm_set_bits(self._jvm_words, hv, self.jvm_m_bits, self.jvm_k)
+            return
         if self.broadcast_bloom:
             if n_rows is None:
                 n_rows = rows.count()
@@ -262,6 +447,8 @@ class SeenState:
         """
         if not self.use_bloom:
             return cands.join(self.seen.select("surt"), "surt", "left_anti")
+        if self.jvm_bloom:
+            return self._novel_jvm(cands)
         if self.broadcast_bloom:
             return self._novel_broadcast(cands)
 
@@ -379,6 +566,40 @@ class SeenState:
         tested = cands.withColumn("maybe_seen", bloom_maybe(F.col("url_hash")))
         return self._fpp_filter(tested).drop("maybe_seen")
 
+    def _might_contain_col(self, blob: bytes, col_name: str):
+        """A Column evaluating Spark's BloomFilterMightContain(lit(blob),
+        col) — the JVM expression behind SQL runtime row-group filtering
+        (codegen'd, whole-stage). Not in the SQL function registry, so the
+        expression tree is built directly; the serialized filter literal
+        ships with the stage's task binary (one copy per executor)."""
+        from pyspark.sql import Column
+
+        jvm = self.spark.sparkContext._jvm
+        ce = jvm.org.apache.spark.sql.catalyst.expressions
+        lit = ce.Literal.create(
+            blob, jvm.org.apache.spark.sql.types.DataTypes.BinaryType
+        )
+        attr = jvm.org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(
+            col_name
+        )
+        expr = ce.BloomFilterMightContain(lit, attr)
+        return Column(jvm.org.apache.spark.sql.classic.ExpressionUtils.column(expr))
+
+    def _novel_jvm(self, cands: DataFrame) -> DataFrame:
+        """JVM-bloom membership: the whole novel path stays inside
+        whole-stage codegen — no Arrow transfer, no Python worker, no
+        per-batch fixed cost. The literal snapshot also pins the seen-set
+        AS OF THIS CALL for free (bytes are copied at expression build)."""
+        if self._jvm_words is None:  # nothing inserted yet
+            tested = cands.withColumn("maybe_seen", F.lit(False))
+        else:
+            blob = _jvm_bloom_serialize(self._jvm_words, self.jvm_k)
+            self.last_broadcast_bytes = len(blob)
+            tested = cands.withColumn(
+                "maybe_seen", self._might_contain_col(blob, "url_hash")
+            )
+        return self._fpp_filter(tested).drop("maybe_seen")
+
     def checkpoint_to(self, write_fn) -> None:
         """Materialize state via the caller-provided writer (checkpoint.py)."""
         write_fn("seen", self.seen)
@@ -400,3 +621,12 @@ class SeenState:
             self.seen_rows_approx = max(self.seen_rows_approx, self.slim_join_min_rows)
         if bloom is not None:
             self.bloom = bloom  # broadcast mode: seeds driver shards (setter)
+            if self.jvm_bloom and self._jvm_words is None:
+                # checkpoint came from a different bloom mode: rebuild the
+                # JVM-layout bitset from the exact seen table (one 8 B/row
+                # hash pull, same order as the broadcast-mode full-shard
+                # restore; false negatives impossible — seen is the truth)
+                hv = self.seen.select("url_hash").toPandas()["url_hash"].to_numpy()
+                self._jvm_words = np.zeros(self.jvm_m_bits // 64, dtype=np.uint64)
+                if len(hv):
+                    _jvm_set_bits(self._jvm_words, hv, self.jvm_m_bits, self.jvm_k)
