@@ -260,6 +260,26 @@ def simhash_signatures(
 # ---------------------------------------------------------------------------
 
 
+def ngram_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """(id, *block_cols, sh_str array<string>) word-bigram shingle table —
+    the shareable (and most expensive: interpreted-HOF) stage of
+    ngram_jaccard_neardups. Derive it once, localCheckpoint it, and feed
+    it to several ``ngram_jaccard_neardups(..., shingled=...)`` calls
+    (e.g. the portable and hashed registry entries) instead of re-running
+    the tokenize+shingle pipeline per call (VERDICT r4 next #8)."""
+    shingle_strs = F.array_distinct(word_shingles(words_of(F.col(text_col)), 2))
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingle_strs.alias("sh_str"),
+    ).filter(F.size("sh_str") > 0)
+
+
 def ngram_jaccard_neardups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -267,6 +287,7 @@ def ngram_jaccard_neardups(
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.6,
     portable: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join (all pairs with Jaccard >= t within
     ``block_cols``) via DF-ordered PREFIX FILTERING — the AllPairs/PPJoin
@@ -304,19 +325,24 @@ def ngram_jaccard_neardups(
     oracle applies; at 100 TB this is the difference between shuffling
     shingle text and shuffling 8-byte keys.
     """
-    shingle_strs = F.array_distinct(word_shingles(words_of(F.col(text_col)), 2))
-    shingles = (
-        shingle_strs if portable
-        else F.array_distinct(F.transform(shingle_strs, lambda s: F.xxhash64(s)))
-    )
-    sh = docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        shingles.alias("sh"),
-    ).filter(F.size("sh") > 0).localCheckpoint(eager=True)
-    # ^ evaluate the (interpreted HOF) shingle pipeline ONCE: the token
-    # explode, the verify joins and the set math would otherwise each
-    # re-derive it per row
+    if shingled is None:
+        shingled = ngram_shingles(docs, id_col, text_col, block_cols)
+        shingled = shingled.localCheckpoint(eager=True)
+        # ^ evaluate the (interpreted HOF) shingle pipeline ONCE: the
+        # token explode, the verify joins and the set math would
+        # otherwise each re-derive it per row
+    if portable:
+        sh = shingled.withColumnRenamed("sh_str", "sh")
+    else:
+        # xxhash64-compress on top of the (checkpointed) string shingles;
+        # re-checkpoint so the set math shuffles 8-byte keys, computed once
+        sh = shingled.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.array_distinct(
+                F.transform("sh_str", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        ).localCheckpoint(eager=True)
     n_sh = F.size("sh")
     prefix_len = n_sh - F.ceil(F.lit(threshold) * n_sh).cast("int") + 1
     tok = sh.select(
