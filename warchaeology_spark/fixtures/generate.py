@@ -39,6 +39,11 @@ TIERS = {
     "t2": Tier(n_docs=5_000, n_hosts=100, links_per_doc=6, n_seeds=25),
     "bench": Tier(n_docs=50_000, n_hosts=1_000, links_per_doc=10, n_seeds=100),
     "bench4x": Tier(n_docs=200_000, n_hosts=2_000, links_per_doc=10, n_seeds=200),
+    # mid-scale frontier bench (VERDICT r4 next #5): big enough that a
+    # round schedules ~10^5 URLs, so frontier URLs/sec measures the
+    # pipeline instead of fixed per-round job cost (the old "bench" tier
+    # scheduled 938 URLs across 3 rounds — fixed cost was ~100% of it)
+    "mid": Tier(n_docs=2_000_000, n_hosts=5_000, links_per_doc=8, n_seeds=50_000),
 }
 
 HEAVY_HOST = "heavy.example.org"
