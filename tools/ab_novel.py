@@ -18,6 +18,11 @@ SHORT post-parse stages — novel() worst at 0.504 — not canonicalize
             BloomFilterImpl layout); ZERO Python on the novel path, so
             the per-batch Arrow fixed cost that bigbatch only shrinks is
             eliminated outright.
+            MEASURED r5 (BENCH/ab_novel_r5.json): REJECTED — 35-44%
+            slower than base at both 4 and 16 cores and worse 4->16
+            efficiency (0.497 vs 0.662); the ~14 MB filter literal is
+            deserialized per task in every consuming stage. See the
+            round-5 note in BENCH/BASELINE.md.
 
 Usage: python tools/ab_novel.py                      # all variants, 4+16
        python tools/ab_novel.py --child V CPUS N     # internal

@@ -174,8 +174,13 @@ class SeenState:
     # novel()'s membership test is a codegen'd JVM BloomFilterMightContain
     # expression — ZERO Python on the membership path (no Arrow batch
     # round-trips, no pandas UDF fixed cost per batch). The serialized
-    # filter rides the stage's task binary as a binary literal (one copy
-    # per executor per stage, like a broadcast). Mutually exclusive with
+    # filter rides the stage's task closure as a binary literal —
+    # deserialized per TASK, which is why the mode measured 35-44% SLOWER
+    # than the delta-broadcast numpy path at 16M URLs (A/B'd both widths,
+    # BENCH/ab_novel_r5.json + BENCH/BASELINE.md round-5 note): there is
+    # no public seam to ship the literal as a real broadcast. Kept as an
+    # opt-in serving mode (parity-tested; checkpoint round-trips), not
+    # the default. Mutually exclusive with
     # broadcast_bloom; demotes to the cogroup-sharded mode on an oversized
     # delta by REBUILDING the sharded bitsets from the exact seen table
     # (bloom bits are not translatable between hash layouts).
