@@ -356,9 +356,14 @@ def main():
     kernel_only = "--kernel-only" in sys.argv
     frontier_only = "--frontier-only" in sys.argv
 
+    # SPARK_GRAFT_MASTER (e.g. local-cluster[4,4,8192]) overrides inside
+    # get_spark — used by tools/exec_scaling.py for the N-vs-4N-EXECUTOR
+    # ladder; SPARK_GRAFT_CPUS must then carry the TOTAL core count so
+    # partition counts stay matched to the cluster width.
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    out_master = spark.sparkContext.master
 
-    out: dict = {"sf": sf_dir, "cpus": cpus, "unit": "sec"}
+    out: dict = {"sf": sf_dir, "cpus": cpus, "unit": "sec", "master": out_master}
     qtimes: dict[str, float] = {}
     # Field semantics (VERDICT r3 wrong #1: one "value" field carried
     # three different meanings): every rate/total below is its own

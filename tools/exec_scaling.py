@@ -1,0 +1,135 @@
+"""N-vs-4N EXECUTOR scaling evidence on one box (BASELINE.json north rule).
+
+tools/bench_scaling.py emulates the two-cluster-size criterion with
+local[4] vs local[16] — 4N THREADS in one JVM, which stacks two terms a
+real cluster does not have against the 4N side: a single shared heap
+(allocation/GC contention for the string-heavy stages) and a single
+task-scheduler/broadcast endpoint. This harness runs the SAME kernel job
+on Spark's `local-cluster[n,c,mem]` master instead: n real executor
+PROCESSES (separate JVMs, separate heaps, real Netty shuffle and torrent
+broadcast) — the faithful single-box emulation of "N executors vs 4N
+executors, spark-submit --py-files" (the package ships to executors as
+dist/warchaeology_spark.zip via spark.submit.pyFiles; session.py wires
+PYTHONPATH for the executor-side pandas UDF imports).
+
+Configuration: 1 executor x C cores  vs  4 executors x C cores (same
+per-executor shape, 4x the executors — exactly how a cluster scales out).
+Default C=4 so the 4N side uses the box's 16 physical cores.
+
+Usage: python tools/exec_scaling.py [C] [trials]   (default C=4, trials=2)
+Writes BENCH/scaling_executors.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_quiet(threshold: float, timeout_sec: float) -> None:
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_sec:
+        with open("/proc/loadavg") as f:
+            if float(f.read().split()[0]) < threshold:
+                return
+        time.sleep(20)
+
+
+def run_once(n_exec: int, cores_per: int, n_urls: int) -> dict:
+    total = n_exec * cores_per
+    # worker memory spec (MB) must cover spark.executor.memory
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},{cores_per},7168]",
+        SPARK_GRAFT_CPUS=str(total),
+        SPARK_GRAFT_KERNEL_URLS=str(n_urls),
+        SPARK_GRAFT_EXECUTOR_MEM="6g",
+        # per-EXECUTOR off-heap: 4 executors x (6g heap + 4g offheap) +
+        # driver stays well under the box's memory alongside co-tenants
+        SPARK_GRAFT_OFFHEAP_SIZE="4g",
+        SPARK_DRIVER_MEM="8g",
+        SPARK_GRAFT_KERNEL_PASSES=os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "3"),
+    )
+    wait_quiet(
+        float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5")),
+        float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "900")),
+    )
+    with open("/proc/loadavg") as f:
+        load_before = f.read().split()[0]
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--kernel-only"],
+        capture_output=True, text=True, env=env, timeout=2400, cwd=REPO,
+    )
+    try:
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        parsed = json.loads(line)
+    except Exception:
+        return {"executors": n_exec, "cores_per_executor": cores_per,
+                "error": (out.stderr or out.stdout)[-800:],
+                "loadavg_before": load_before}
+    rec = parsed["kernel"]
+    rec["control"] = parsed.get("control")
+    rec["executors"] = n_exec
+    rec["cores_per_executor"] = cores_per
+    rec["total_cores"] = total
+    rec["loadavg_before"] = load_before
+    return rec
+
+
+def main() -> None:
+    cores_per = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_urls = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "16000000"))
+    # ship the package exactly like spark-submit --py-files would
+    subprocess.run(["bash", os.path.join(REPO, "tools", "make_submit.sh")],
+                   check=True, capture_output=True)
+    results: dict[int, list] = {1: [], 4: []}
+    for _ in range(trials):
+        for n_exec in (4, 1):  # interleave: drift hits both configs equally
+            rec = run_once(n_exec, cores_per, n_urls)
+            results[n_exec].append(rec)
+            print(json.dumps(rec), flush=True)
+    ok = {n: [r for r in rs if "error" not in r] for n, rs in results.items()}
+    if not ok[1] or not ok[4]:
+        summary = {"error": "a configuration produced no clean trials",
+                   "trials": results}
+    else:
+        best = {n: min(rs, key=lambda r: r["elapsed_sec"]) for n, rs in ok.items()}
+        thr_1, thr_4 = best[1]["urls_per_sec"], best[4]["urls_per_sec"]
+        eff = (thr_4 / thr_1) / 4
+        ctrl = {
+            n: min((r["control"] for r in rs if r.get("control")),
+                   key=lambda x: x["elapsed_sec"], default=None)
+            for n, rs in ok.items()
+        }
+        ctrl_eff = None
+        if ctrl[1] and ctrl[4]:
+            ctrl_eff = round(
+                (ctrl[4]["rows_per_sec"] / ctrl[1]["rows_per_sec"]) / 4, 3
+            )
+        summary = {
+            "mode": "local-cluster (separate executor JVMs)",
+            "n_urls": n_urls,
+            "executors_N": 1,
+            "executors_4N": 4,
+            "cores_per_executor": cores_per,
+            "throughput_N": thr_1,
+            "throughput_4N": thr_4,
+            "speedup": round(thr_4 / thr_1, 2),
+            "scaling_efficiency": round(eff, 3),
+            "control_scaling_efficiency": ctrl_eff,
+            "trials": results,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+    print(json.dumps({k: v for k, v in summary.items() if k != "trials"}))
+    with open(os.path.join(REPO, "BENCH", "scaling_executors.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

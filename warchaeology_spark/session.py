@@ -28,6 +28,12 @@ def get_spark(
     an explicit ``num_partitions`` instead of relying on this default.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_MASTER overrides the caller: the bench/scaling harnesses
+    # swap the same job onto a local-cluster[N,c,mem] master (real separate
+    # executor JVMs + network shuffle + torrent broadcast — the faithful
+    # single-box emulation of the charter's N-vs-4N-EXECUTOR criterion)
+    # without threading a parameter through every entry point.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or master
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -78,6 +84,26 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_OFFHEAP_SIZE", "16g"),
         )
     )
+    if master.startswith("local-cluster"):
+        # Executor processes don't inherit the driver's sys.path: ship the
+        # package the way a real spark-submit --py-files run does (the zip
+        # tools/make_submit.sh builds), plus PYTHONPATH for the executor-
+        # side pandas-UDF imports. Executor memory must fit the worker
+        # spec in the master string (MB field), so it is env-tunable.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_path = os.path.join(repo_root, "dist", "warchaeology_spark.zip")
+        if os.path.exists(zip_path):
+            builder = builder.config("spark.submit.pyFiles", zip_path)
+        import sys as _sys
+
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.executorEnv.PYSPARK_PYTHON", _sys.executable)
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
