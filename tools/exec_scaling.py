@@ -18,6 +18,11 @@ Default C=4 so the 4N side uses the box's 16 physical cores.
 
 Usage: python tools/exec_scaling.py [C] [trials]   (default C=4, trials=2)
 Writes BENCH/scaling_executors.json.
+
+SPARK_GRAFT_EXEC_MODE=frontier measures the full run_crawl pipeline
+(bench.py --frontier-only, mid tier: robots + politeness + bloom/seen +
+checkpointing — the charter's literal URLs-scheduled/sec metric) instead
+of the kernel, writing BENCH/scaling_executors_frontier.json.
 """
 
 from __future__ import annotations
@@ -38,6 +43,9 @@ def wait_quiet(threshold: float, timeout_sec: float) -> None:
             if float(f.read().split()[0]) < threshold:
                 return
         time.sleep(20)
+
+
+MODE = os.environ.get("SPARK_GRAFT_EXEC_MODE", "kernel")
 
 
 def run_once(n_exec: int, cores_per: int, n_urls: int) -> dict:
@@ -61,8 +69,9 @@ def run_once(n_exec: int, cores_per: int, n_urls: int) -> dict:
     )
     with open("/proc/loadavg") as f:
         load_before = f.read().split()[0]
+    flag = "--frontier-only" if MODE == "frontier" else "--kernel-only"
     out = subprocess.run(
-        [sys.executable, "bench.py", "--kernel-only"],
+        [sys.executable, "bench.py", flag],
         capture_output=True, text=True, env=env, timeout=2400, cwd=REPO,
     )
     try:
@@ -72,7 +81,7 @@ def run_once(n_exec: int, cores_per: int, n_urls: int) -> dict:
         return {"executors": n_exec, "cores_per_executor": cores_per,
                 "error": (out.stderr or out.stdout)[-800:],
                 "loadavg_before": load_before}
-    rec = parsed["kernel"]
+    rec = parsed["frontier" if MODE == "frontier" else "kernel"]
     rec["control"] = parsed.get("control")
     rec["executors"] = n_exec
     rec["cores_per_executor"] = cores_per
@@ -113,7 +122,7 @@ def main() -> None:
                 (ctrl[4]["rows_per_sec"] / ctrl[1]["rows_per_sec"]) / 4, 3
             )
         summary = {
-            "mode": "local-cluster (separate executor JVMs)",
+            "mode": f"local-cluster (separate executor JVMs), {MODE} job",
             "n_urls": n_urls,
             "executors_N": 1,
             "executors_4N": 4,
@@ -127,7 +136,12 @@ def main() -> None:
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         }
     print(json.dumps({k: v for k, v in summary.items() if k != "trials"}))
-    with open(os.path.join(REPO, "BENCH", "scaling_executors.json"), "w") as f:
+    name = (
+        "scaling_executors_frontier.json"
+        if MODE == "frontier"
+        else "scaling_executors.json"
+    )
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(summary, f, indent=2)
 
 
