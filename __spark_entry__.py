@@ -42,10 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     from warchaeology_spark.frontier.scheduler import CrawlConfig, run_crawl
 
-    docs = gen_documents_spans(spark, "t1")
-    seeds = gen_seeds(spark, "t1")
-    robots = gen_robots(spark, "t1")
-    pol = gen_politeness(spark, "t1")
+    # materialize the synthetic inputs: the generators are single large
+    # column expressions, and letting them inline into the crawl's
+    # canonicalize+sort stages blows past janino's method-size limit
+    # (Spark falls back to interpreted eval with a noisy ERROR; the
+    # checkpoint keeps the flagship's codegen clean)
+    docs = gen_documents_spans(spark, "t1").localCheckpoint(eager=True)
+    seeds = gen_seeds(spark, "t1").localCheckpoint(eager=True)
+    robots = gen_robots(spark, "t1").localCheckpoint(eager=True)
+    pol = gen_politeness(spark, "t1").localCheckpoint(eager=True)
     # the snapshot store is scratch state for the die/resume demo — clean
     # it up so repeated flagship runs don't accumulate temp directories.
     # The returned fetch log is collected from an in-memory frame, so it
