@@ -62,15 +62,24 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
-def _wait_quiet() -> None:
+def _wait_quiet(threshold: float | None = None) -> None:
     """Co-tenant gate (same rule as tools/bench_scaling.py): don't start a
     timed pass under a neighbour's burst; give up after a timeout so the
     bench always completes (load is logged per pass either way)."""
-    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "8"))
+    if threshold is None:
+        threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "8"))
     timeout = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "600"))
     t0 = time.monotonic()
     while time.monotonic() - t0 < timeout and _loadavg() >= threshold:
         time.sleep(10)
+
+
+def _kernel_quiet_load() -> float:
+    """Tighter gate for the kernel row than the suite-wide threshold: the
+    single short kernel segment is the most load-sensitive artifact in
+    the file (r5: recorded 164.7k at loadavg 7.01 while the same-day
+    ladder read 3.3x that — VERDICT r5 wrong #2)."""
+    return float(os.environ.get("SPARK_GRAFT_KERNEL_QUIET_LOAD", "5"))
 
 
 def run_frontier(spark) -> dict:
@@ -295,10 +304,13 @@ def run_kernel(spark, n_urls: int) -> dict:
     # usually straddles a neighbour's burst; the fastest of k passes is
     # the steady-state estimate with the neighbour factored out. Per-pass
     # times are reported for transparency.
-    passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "1"))
+    # best-of-2 by default (VERDICT r5 next #4) — the ladder harness
+    # overrides with its own pass count
+    passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "2"))
     pass_times, loads = [], []
     n_sched = 0
-    _wait_quiet()  # segment-start gate (between-pass load is self-load)
+    # kernel segment gates TIGHTER than the suite (see _kernel_quiet_load)
+    _wait_quiet(_kernel_quiet_load())  # between-pass load is self-load
     for _ in range(max(passes, 1)):
         loads.append(_loadavg())
         t0 = time.monotonic()
@@ -315,6 +327,10 @@ def run_kernel(spark, n_urls: int) -> dict:
         "bloom_mode": bloom_mode,
         "pass_times_sec": pass_times,
         "loadavg_before": loads,
+        # per-segment verdict: the gate timed out and the segment started
+        # above ITS OWN threshold -> this row's rate is suspect even if
+        # the suite-level flag stays false
+        "degraded": loads[0] >= _kernel_quiet_load(),
     }
 
 
@@ -377,8 +393,7 @@ def main():
         out["kernel_urls_per_sec"] = out["kernel"]["urls_per_sec"]
         out["metric"] = "kernel_urls_per_sec"
         out["value"] = out["kernel"]["urls_per_sec"]
-        threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "8"))
-        out["degraded"] = out["kernel"]["loadavg_before"][0] >= threshold
+        out["degraded"] = out["kernel"]["degraded"]
         print(json.dumps(out))
         spark.stop()
         return
@@ -421,9 +436,12 @@ def main():
     segment_starts = [
         out.get("loadavg_before_queries", 0.0),
         (out.get("frontier", {}).get("loadavg_before") or [0.0])[0],
-        (out.get("kernel", {}).get("loadavg_before") or [0.0])[0],
     ]
-    out["degraded"] = any(load >= threshold for load in segment_starts)
+    # the kernel row carries its own tighter verdict (see run_kernel)
+    out["degraded"] = (
+        any(load >= threshold for load in segment_starts)
+        or out["kernel"]["degraded"]
+    )
     print(json.dumps(out))
     spark.stop()
 

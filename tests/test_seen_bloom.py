@@ -233,3 +233,11 @@ def test_numpy_modes_refuse_jvm_format_checkpoint(spark):
     st = SeenState(spark, num_partitions=4, expected_total=40_000, use_bloom=True)
     with pytest.raises(ValueError, match="jvm serving mode"):
         st.restore(src.seen, jvm_bloom_df)
+
+    # the cogroup-SHARDED mode must refuse too — before the guard it
+    # silently adopted the pid=-1 row as its shard table, crashing novel()
+    # or (after an add()) re-scheduling previously-seen URLs (ADVICE r5)
+    sh = SeenState(spark, num_partitions=4, expected_total=40_000,
+                   use_bloom=True, broadcast_bloom=False)
+    with pytest.raises(ValueError, match="jvm serving mode"):
+        sh.restore(src.seen, jvm_bloom_df)

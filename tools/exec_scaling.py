@@ -12,9 +12,15 @@ executors, spark-submit --py-files" (the package ships to executors as
 dist/warchaeology_spark.zip via spark.submit.pyFiles; session.py wires
 PYTHONPATH for the executor-side pandas UDF imports).
 
-Configuration: 1 executor x C cores  vs  4 executors x C cores (same
-per-executor shape, 4x the executors — exactly how a cluster scales out).
-Default C=4 so the 4N side uses the box's 16 physical cores.
+Configuration: 1 / 2 / 4 executors x C cores (same per-executor shape,
+scaled out — exactly how a cluster scales). Default C=4 so the 4N side
+uses the box's 16 physical cores. The 2-executor MIDPOINT (VERDICT r5
+next #2) makes the T(n) = F + W/(n*C) fixed-cost fit overdetermined:
+with only the 1- and 4-executor endpoints, two unknowns fit two points
+exactly by construction; the midpoint lets the fit report a residual,
+i.e. makes the "the gap from 1.0 is fixed cost, the engine term scales"
+attribution falsifiable. Override the config list with
+SPARK_GRAFT_EXEC_CONFIGS=1,4 to reproduce the two-point protocol.
 
 Usage: python tools/exec_scaling.py [C] [trials]   (default C=4, trials=2)
 Writes BENCH/scaling_executors.json.
@@ -90,48 +96,88 @@ def run_once(n_exec: int, cores_per: int, n_urls: int) -> dict:
     return rec
 
 
+def fit_fixed_cost(points: list[tuple[float, float]]) -> dict:
+    """Least-squares fit of T = F + W/x over (x=total_cores, T=elapsed)
+    points — linear in (F, W), solved by the 2x2 normal equations. With
+    >=3 distinct x the system is overdetermined and the per-point
+    residuals falsify (or support) the 'gap is fixed cost' attribution."""
+    n = len(points)
+    s_inv = sum(1.0 / x for x, _ in points)
+    s_inv2 = sum(1.0 / (x * x) for x, _ in points)
+    s_t = sum(t for _, t in points)
+    s_t_inv = sum(t / x for x, t in points)
+    det = n * s_inv2 - s_inv * s_inv
+    if abs(det) < 1e-12:
+        return {"error": "degenerate fit (need >=2 distinct core counts)"}
+    f = (s_t * s_inv2 - s_t_inv * s_inv) / det
+    w = (n * s_t_inv - s_t * s_inv) / det
+    resid = [
+        {"total_cores": x, "measured_sec": t,
+         "fit_sec": round(f + w / x, 2),
+         "residual_rel": round((t - (f + w / x)) / t, 4)}
+        for x, t in points
+    ]
+    return {"F_fixed_sec": round(f, 2), "W_core_sec": round(w, 1),
+            "points": resid}
+
+
 def main() -> None:
     cores_per = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_urls = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "16000000"))
+    configs = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_EXEC_CONFIGS", "1,2,4").split(",")
+    )
     # ship the package exactly like spark-submit --py-files would
     subprocess.run(["bash", os.path.join(REPO, "tools", "make_submit.sh")],
                    check=True, capture_output=True)
-    results: dict[int, list] = {1: [], 4: []}
+    results: dict[int, list] = {n: [] for n in configs}
     for _ in range(trials):
-        for n_exec in (4, 1):  # interleave: drift hits both configs equally
+        # interleave large->small: drift hits every config equally
+        for n_exec in sorted(configs, reverse=True):
             rec = run_once(n_exec, cores_per, n_urls)
             results[n_exec].append(rec)
             print(json.dumps(rec), flush=True)
     ok = {n: [r for r in rs if "error" not in r] for n, rs in results.items()}
-    if not ok[1] or not ok[4]:
+    lo, hi = min(configs), max(configs)
+    if any(not ok[n] for n in configs):
         summary = {"error": "a configuration produced no clean trials",
                    "trials": results}
     else:
         best = {n: min(rs, key=lambda r: r["elapsed_sec"]) for n, rs in ok.items()}
-        thr_1, thr_4 = best[1]["urls_per_sec"], best[4]["urls_per_sec"]
-        eff = (thr_4 / thr_1) / 4
+        thr = {n: best[n]["urls_per_sec"] for n in configs}
+        eff = (thr[hi] / thr[lo]) / (hi / lo)
         ctrl = {
             n: min((r["control"] for r in rs if r.get("control")),
                    key=lambda x: x["elapsed_sec"], default=None)
             for n, rs in ok.items()
         }
         ctrl_eff = None
-        if ctrl[1] and ctrl[4]:
+        if ctrl[lo] and ctrl[hi]:
             ctrl_eff = round(
-                (ctrl[4]["rows_per_sec"] / ctrl[1]["rows_per_sec"]) / 4, 3
+                (ctrl[hi]["rows_per_sec"] / ctrl[lo]["rows_per_sec"])
+                / (hi / lo), 3,
             )
         summary = {
             "mode": f"local-cluster (separate executor JVMs), {MODE} job",
             "n_urls": n_urls,
-            "executors_N": 1,
-            "executors_4N": 4,
+            "executors_N": lo,
+            "executors_4N": hi,
             "cores_per_executor": cores_per,
-            "throughput_N": thr_1,
-            "throughput_4N": thr_4,
-            "speedup": round(thr_4 / thr_1, 2),
+            "throughput_N": thr[lo],
+            "throughput_4N": thr[hi],
+            "throughput_by_executors": {str(n): thr[n] for n in configs},
+            "pairwise_efficiency": {
+                f"{a}->{b}": round((thr[b] / thr[a]) / (b / a), 3)
+                for a, b in zip(sorted(configs), sorted(configs)[1:])
+            },
+            "speedup": round(thr[hi] / thr[lo], 2),
             "scaling_efficiency": round(eff, 3),
             "control_scaling_efficiency": ctrl_eff,
+            "fixed_cost_fit": fit_fixed_cost(
+                [(n * cores_per, best[n]["elapsed_sec"]) for n in configs]
+            ),
             "trials": results,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         }

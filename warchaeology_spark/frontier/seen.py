@@ -286,6 +286,18 @@ class SeenState:
         elif self.broadcast_bloom:
             self._seed_shards_from(df)
         else:
+            # same guard as _seed_shards_from: a pid=-1 row is a jvm-mode
+            # (BloomFilterImpl) checkpoint whose bits the numpy double-hash
+            # shards can't read — silently adopting it would make novel()
+            # crash (no real-pid rows) or, worse after an add(), re-schedule
+            # previously-seen URLs (ADVICE r5 medium).
+            if df.filter(F.col("pid") < 0).limit(1).count() > 0:
+                raise ValueError(
+                    "bloom checkpoint was written in jvm serving mode "
+                    "(BloomFilterImpl layout); its bits are not readable "
+                    "by the numpy double-hash modes — resume with "
+                    "jvm_bloom=True (or use_bloom=False)"
+                )
             self._bloom_df = df
 
     def _seed_shards_from(self, df: DataFrame) -> None:

@@ -1643,8 +1643,34 @@ def _warc_corpus(spark, sf):
             ("Content-Type", "application/warc-fields"),
             ("Content-Length", str(len(meta_body))),
         ], meta_body))
+        # a BINARY (invalid-UTF-8) payload per file: real archives are full
+        # of images/gzip bodies, and the typed lift's head-window decode
+        # must survive them (ADVICE r5 high — ISO-8859-1, not UTF-8)
+        img = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+            b"\x89PNG\r\n\x1a\n"
+            + bytes((fid * 7 + j) % 256 for j in range(64))
+        )
+        recs.append(serialize_record("WARC/1.1", [
+            ("WARC-Record-ID", f"<urn:uuid:img-{fid}>"),
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", f"https://example.com/img/{fid}.png"),
+            ("Content-Type", "application/http; msgtype=response"),
+            ("Content-Length", str(len(img))),
+        ], img))
         if fid % 2 == 1:
-            name, blob = f"f{fid}.warc.gz", b"".join(gzip_member(x) for x in recs)
+            # gzip files pack records into members of alternating size
+            # 2,1,2,1,… — multi-record members are legal (the reference
+            # reads the member stream continuously), all records of a
+            # member share its compressed offset and are addressed by
+            # (offset, member_seq) (ADVICE r5 low)
+            members, i = [], 0
+            while i < len(recs):
+                take = 2 if (i % 3 == 0 and i + 1 < len(recs)) else 1
+                members.append(b"".join(recs[i : i + take]))
+                i += take
+            name = f"f{fid}.warc.gz"
+            blob = b"".join(gzip_member(m) for m in members)
         else:
             name, blob = f"f{fid}.warc", b"".join(recs)
         return pd.DataFrame({"file": [name], "content": [blob]})
@@ -1661,11 +1687,15 @@ _AGREE_FIELDS = (
 def _warc_reference_rows(name: str, data: bytes) -> list[dict]:
     """Independent sequential parse + typed lift of one WARC file —
     written against the grammar directly (NOT via sources/warc.py's
-    parser), the comparison side of warc_scan_agreement."""
+    parser), the comparison side of warc_scan_agreement. Gzip members
+    are read to record EXHAUSTION (a member may legally hold several
+    records; the engine does the same), and each record carries its
+    within-member ordinal so the (file, offset, member_seq) join key
+    is unique (ADVICE r5 low)."""
     import hashlib
     import zlib
 
-    def lift(raw: bytes, offset: int, raw_len: int) -> dict:
+    def lift(raw: bytes, offset: int, raw_len: int, seq: int) -> dict:
         head, _, rest = raw.partition(b"\r\n\r\n")
         lines = head.split(b"\r\n")
         hdrs: dict[str, str] = {}
@@ -1687,7 +1717,8 @@ def _warc_reference_rows(name: str, data: bytes) -> list[dict]:
                     mime = hv.strip()
                     break
         return {
-            "file": name, "offset": offset, "size": raw_len,
+            "file": name, "offset": offset, "member_seq": seq,
+            "size": raw_len,
             "record_id": hdrs["warc-record-id"].strip("<>"),
             "record_type": hdrs.get("warc-type", "unknown"),
             "url": hdrs.get("warc-target-uri"),
@@ -1696,6 +1727,21 @@ def _warc_reference_rows(name: str, data: bytes) -> list[dict]:
             "payload_sha": hashlib.sha256(body).hexdigest(),
         }
 
+    def each(plain: bytes):
+        """Yield (start, raw_record_bytes) sequentially until exhaustion."""
+        pos = 0
+        while pos < len(plain):
+            hdr_end = plain.find(b"\r\n\r\n", pos)
+            length = None
+            for ln in plain[pos:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = ln.decode("utf-8", "replace").partition(":")
+                if k.lower() == "content-length":
+                    length = int(v)
+                    break
+            nxt = hdr_end + 4 + length + 4
+            yield pos, plain[pos:nxt]
+            pos = nxt
+
     out = []
     if data[:2] == b"\x1f\x8b":
         pos = 0
@@ -1703,21 +1749,15 @@ def _warc_reference_rows(name: str, data: bytes) -> list[dict]:
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
             plain = d.decompress(data[pos:])
             consumed = len(data) - pos - len(d.unused_data)
-            out.append(lift(plain, pos, consumed))
+            for seq, (_, raw) in enumerate(each(plain)):
+                # only the member's FIRST record carries the compressed
+                # length; followers are size 0 (the engine's convention)
+                out.append(lift(raw, pos, consumed if seq == 0 else 0, seq))
             pos += consumed
         return out
-    pos = 0
-    while pos < len(data):
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        length = None
-        for ln in data[pos:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = ln.decode("utf-8", "replace").partition(":")
-            if k.lower() == "content-length":
-                length = int(v)
-                break
-        nxt = hdr_end + 4 + length + 4
-        out.append(lift(data[pos:nxt], pos, nxt - pos))
-        pos = nxt
+    for start, raw in each(data):
+        # plain records have unique offsets; member_seq is always 0
+        out.append(lift(raw, start, len(raw), 0))
     return out
 
 
@@ -1735,15 +1775,18 @@ def warc_scan_agreement_q(spark, sf):
     column-expression surface behind ls/cat/validate — must agree field
     for field (incl. HTTP-payload mime, status, first-wins repeated
     headers, payload bytes via sha256) with an independent sequential
-    parse of the SAME synthesized bytes. Oracle = the empty set of
-    disagreeing (file, offset) rows; a row missing on either side
+    parse of the SAME synthesized bytes. The corpus exercises
+    multi-record gzip members (addressed by (offset, member_seq)) and
+    binary invalid-UTF-8 payloads. Oracle = the empty set of disagreeing
+    (file, offset, member_seq) rows; a row missing on either side
     surfaces as mismatch='presence'."""
     from warchaeology_spark.sources.warc import records_table, scan_warc_bytes
 
     corpus = _warc_corpus(spark, sf).localCheckpoint(eager=True)
 
     engine = records_table(scan_warc_bytes(corpus)).select(
-        "file", "offset", "size", "record_id", "record_type", "url",
+        "file", "offset", "member_seq", "size", "record_id", "record_type",
+        "url",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
         "mime_type", "status_code",
         F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256).alias("payload_sha"),
@@ -1756,19 +1799,21 @@ def warc_scan_agreement_q(spark, sf):
                 rows.extend(_warc_reference_rows(r.file, bytes(r.content)))
             yield pd.DataFrame(
                 rows,
-                columns=["file", "offset", *_AGREE_FIELDS],
+                columns=["file", "offset", "member_seq", *_AGREE_FIELDS],
             )
 
     reference = corpus.mapInPandas(
         ref,
-        "file string, offset long, size long, record_id string,"
+        "file string, offset long, member_seq int, size long,"
+        " record_id string,"
         " record_type string, url string, ts string, mime_type string,"
         " status_code int, payload_sha string",
     )
 
-    e = engine.select("file", "offset", *[F.col(c).alias(f"e_{c}") for c in _AGREE_FIELDS])
-    p = reference.select("file", "offset", *[F.col(c).alias(f"p_{c}") for c in _AGREE_FIELDS])
-    joined = e.join(p, ["file", "offset"], "full_outer")
+    keys = ["file", "offset", "member_seq"]
+    e = engine.select(*keys, *[F.col(c).alias(f"e_{c}") for c in _AGREE_FIELDS])
+    p = reference.select(*keys, *[F.col(c).alias(f"p_{c}") for c in _AGREE_FIELDS])
+    joined = e.join(p, keys, "full_outer")
     diffs = [
         F.when(
             ~F.col(f"e_{c}").eqNullSafe(F.col(f"p_{c}")), F.lit(c)

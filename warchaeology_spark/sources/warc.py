@@ -42,7 +42,8 @@ CRLF = b"\r\n"
 
 #: one row per parsed record (or one error row for a malformed tail)
 WARC_RECORD_SCHEMA = (
-    "file string, offset long, raw_length long, version string,"
+    "file string, offset long, raw_length long, member_seq int,"
+    " version string,"
     " headers array<struct<name:string,value:string>>, content binary,"
     " error string"
 )
@@ -124,9 +125,16 @@ def parse_warc_file(name: str, data: bytes) -> list[dict]:
     executed inside mapInPandas on-Spark."""
     out: list[dict] = []
 
-    def emit(rec: dict | None, offset: int, err: str | None) -> None:
+    def emit(
+        rec: dict | None, offset: int, err: str | None, seq: int = 0
+    ) -> None:
+        # member_seq: ordinal of the record WITHIN its parse unit — always
+        # 0 for plain records (unique offsets), 0..k inside a multi-record
+        # gzip member, whose records all share the member's compressed
+        # offset. (offset, member_seq) is the unique record address.
         row = {
-            "file": name, "offset": offset, "raw_length": 0, "version": None,
+            "file": name, "offset": offset, "raw_length": 0,
+            "member_seq": seq, "version": None,
             "headers": None, "content": None, "error": err,
         }
         if rec is not None:
@@ -143,17 +151,17 @@ def parse_warc_file(name: str, data: bytes) -> list[dict]:
                 # address the COMPRESSED stream (reference semantics): every
                 # record of a member shares the member offset; only the
                 # first carries its compressed length.
-                pos, first = 0, True
+                pos, seq = 0, 0
                 while pos < len(plain):
                     rec, nxt, err = parse_warc_member(plain, pos)
                     if err or rec is None:
-                        emit(None, c_off, err or "empty gzip member")
+                        emit(None, c_off, err or "empty gzip member", seq)
                         return out
                     rec["offset"] = c_off
-                    rec["raw_length"] = c_len if first else 0
-                    emit(rec, c_off, None)
-                    pos, first = nxt, False
-                if first:  # zero-byte member decoded to nothing
+                    rec["raw_length"] = c_len if seq == 0 else 0
+                    emit(rec, c_off, None, seq)
+                    pos, seq = nxt, seq + 1
+                if seq == 0:  # zero-byte member decoded to nothing
                     emit(None, c_off, "empty gzip member")
                     return out
         except Exception as e:  # truncated/corrupt member: keep prior records
@@ -206,8 +214,8 @@ def scan_warc_bytes(files: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "file", "offset", "raw_length", "version", "headers",
-                    "content", "error",
+                    "file", "offset", "raw_length", "member_seq", "version",
+                    "headers", "content", "error",
                 ],
             )
 
@@ -260,7 +268,12 @@ def records_table(scanned: DataFrame) -> DataFrame:
     # the WARC envelope header (internal/warc/metadata_helpers.go:70-82):
     # a response record's WARC Content-Type is `application/http;
     # msgtype=response` while the payload's is e.g. `text/html`.
-    head = F.decode(F.substring("content", 1, 8192), "UTF-8")
+    # ISO-8859-1, not UTF-8: the 8192-byte window reaches into the payload
+    # body, which is arbitrary binary for real archives (images, gzip).
+    # Spark 4's UTF-8 decode throws MALFORMED_CHARACTER_CODING on invalid
+    # bytes; Latin-1 maps every byte to a codepoint, and the status-line /
+    # Content-Type scans only ever match ASCII, so the lift is identical.
+    head = F.decode(F.substring("content", 1, 8192), "ISO-8859-1")
     status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1)
     http_head = F.substring_index(head, "\r\n\r\n", 1)
     payload_mime = F.regexp_extract(
@@ -276,6 +289,7 @@ def records_table(scanned: DataFrame) -> DataFrame:
     return with_map.select(
         "file",
         "offset",
+        "member_seq",
         F.col("raw_length").alias("size"),
         F.regexp_replace(get("warc-record-id"), r"^<|>$", "").alias("record_id"),
         F.coalesce(get("warc-type"), F.lit("unknown")).alias("record_type"),
@@ -291,16 +305,21 @@ def records_table(scanned: DataFrame) -> DataFrame:
 
 
 def serialize_warc(records: DataFrame) -> DataFrame:
-    """Record rows -> (file, offset, record_bytes binary): the byte-exact
-    `cat` emission per record, computed executor-side. Concatenating a
-    file's record_bytes in offset order reproduces the plain-format file
-    to the last good offset (pytest-pinned)."""
+    """Record rows -> (file, offset, member_seq, record_bytes binary): the
+    byte-exact `cat` emission per record, computed executor-side.
+    Concatenating a file's record_bytes in (offset, member_seq) order
+    reproduces the plain-format file to the last good offset
+    (pytest-pinned). member_seq matters only for multi-record gzip
+    members, whose records all share the member's compressed offset (and
+    where every record after the first has raw_length=0 by convention —
+    the member's compressed length is carried once, on its first record)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "file": pdf["file"],
                 "offset": pdf["offset"],
+                "member_seq": pdf["member_seq"],
                 "record_bytes": [
                     serialize_record(
                         r["version"],
@@ -314,4 +333,6 @@ def serialize_warc(records: DataFrame) -> DataFrame:
             }
             yield pd.DataFrame(out)
 
-    return records.mapInPandas(run, "file string, offset long, record_bytes binary")
+    return records.mapInPandas(
+        run, "file string, offset long, member_seq int, record_bytes binary"
+    )
