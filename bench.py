@@ -107,7 +107,10 @@ def run_frontier(spark) -> dict:
         "max_per_round", F.col("max_per_round") * budget_scale
     ).localCheckpoint(eager=True)
 
+    last_timings: list[dict] = []
+
     def one_crawl() -> tuple[int, int, int, float]:
+        nonlocal last_timings
         t0 = time.monotonic()
         res = run_crawl(
             spark, docs, seeds, robots, pol,
@@ -121,6 +124,7 @@ def run_frontier(spark) -> dict:
         )
         scheduled = res.fetch_log.count()
         elapsed = time.monotonic() - t0
+        last_timings = res.timings
         return scheduled, res.seen.count(), res.rounds_run, elapsed
 
     # pass-local checkpoint hygiene (same as run_kernel): each crawl
@@ -164,6 +168,9 @@ def run_frontier(spark) -> dict:
         "seen": seen,
         "pass_times_sec": pass_times,
         "loadavg_before": loads,
+        # per-round phase wall-clock of the LAST pass (scheduler.py
+        # timings) — the direct measurement behind the fixed-cost-F work
+        "round_timings": last_timings,
     }
 
 

@@ -135,6 +135,36 @@ def test_checkpoint_resume(spark, fixture_dir, oracle_result, tmp_path):
     assert engine_seen == set(oracle_result.seen)
 
 
+def test_deferred_commit_every_k_rounds(spark, fixture_dir, oracle_result, tmp_path):
+    """commit_every=2 defers snapshot commits: one commit appends TWO
+    rounds' seen/fetch deltas, and resume replays from the last committed
+    round exactly (VERDICT r5 next #3 — per-round fixed cost)."""
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap_k2")
+    run_crawl(spark, docs, seeds, robots, pol,
+              CrawlConfig(max_rounds=3, store_root=root, commit_every=2))
+    resumed = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, store_root=root, resume=True,
+                    commit_every=2),
+    )
+    assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
+    assert {r["surt"] for r in resumed.seen.collect()} == set(oracle_result.seen)
+
+
+def test_eager_state_checkpoints_equivalent(spark, fixture_dir, oracle_result):
+    """lazy_state_checkpoints=False (the r5 behavior: a dedicated
+    materialization job per carry-over table per round) must produce the
+    identical crawl — the lazy default only moves WHEN materialization
+    happens, never what is computed."""
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, lazy_state_checkpoints=False),
+    )
+    assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
+
+
 def test_delta_commits_write_round_delta_not_full_state(spark, fixture_dir, oracle_result, tmp_path):
     # append-only tables (seen, fetch_log) must commit O(round delta)
     # bytes, not O(accumulated state): each snapshot's manifest appends

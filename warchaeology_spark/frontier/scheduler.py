@@ -73,6 +73,21 @@ class CrawlConfig:
     expected_total: int = 100_000
     store_root: str | None = None  # enables checkpoint/resume
     resume: bool = False
+    # Commit a snapshot every k rounds instead of every round (VERDICT r5
+    # next #3: per-round fixed cost). Uncommitted round deltas accumulate
+    # in driver-side lists of lazy DataFrames and are appended in ONE
+    # commit, so a kill loses at most k-1 rounds of progress and resume
+    # replays from the last committed round exactly as before (the
+    # manifest's next_round is the first uncommitted one). The final
+    # (or early-terminating) round always commits.
+    commit_every: int = 1
+    # Lazy (deferred) localCheckpoints for the round's carry-over state:
+    # pending and seen are checkpointed eager=False, so their
+    # materialization folds into the FIRST job of the next round
+    # (politeness / novel) instead of costing a dedicated job each —
+    # two fewer driver-side job round trips per round. Same lineage
+    # truncation, same results; False restores the r5 behavior.
+    lazy_state_checkpoints: bool = True
 
 
 @dataclass
@@ -86,6 +101,10 @@ class CrawlResult:
     # metrics stays bit-comparable with the sequential oracle's.
     partition_metrics: list[dict] = field(default_factory=list)
     rounds_run: int = 0
+    # per-round wall-clock of each driver-side phase (politeness ckpt,
+    # fetch+gate ckpt, merged stats collect, seen add, state ckpts,
+    # commit) — the measurement behind the per-round fixed-cost F work
+    timings: list[dict] = field(default_factory=list)
 
 
 def _canonicalized(df: DataFrame, url_col: str) -> DataFrame:
@@ -236,29 +255,91 @@ def run_crawl(
         n_pending = pending.count()
     else:
         n_pending = c0["n"] - int(c0["d"] or 0)
+    timings: list[dict] = []
+
+    def _commit_snapshot(next_round: int) -> None:
+        """One snapshot commit: append the accumulated (possibly multi-
+        round) seen/fetch deltas, rewrite pending + bloom, then re-read to
+        truncate lineage at the snapshot boundary."""
+        nonlocal fetch_logs, seen_deltas, pending, fetch_log_base
+        sd = seen_deltas[0]
+        for extra in seen_deltas[1:]:
+            sd = sd.unionByName(extra)
+        fl = fetch_logs[0]
+        for extra in fetch_logs[1:]:
+            fl = fl.unionByName(extra)
+        # pending mutates non-monotonically -> full rewrite (bounded by
+        # the live frontier; Iceberg swap: merge-on-read). bloom bitsets
+        # mutate in place -> full rewrite (3 GB at the 10^10 design
+        # point vs ~1 TB for seen — the seen/fetch_log deltas are the
+        # write-amplification fix that matters).
+        tables = {"pending": pending}
+        if config.use_bloom:
+            tables["bloom"] = seen_state.bloom
+        store.commit(
+            tables,
+            {
+                "next_round": next_round,
+                "metrics": metrics,
+                "partition_metrics": partition_metrics,
+                # seen-state mode must survive resume: a crawl that
+                # auto-demoted to cogroup-sharded must NOT resume into
+                # broadcast mode (restore would collect the full bitset
+                # set — ~3 GB at the 10^10 design point — to the driver
+                # and re-enter the mode the demotion guard escaped).
+                # The exact row count lets resume keep the right
+                # novel() join shape without an extra action.
+                # (ADVICE r3 #4.)
+                "seen_state": {
+                    "broadcast_bloom": seen_state.broadcast_bloom,
+                    "jvm_bloom": seen_state.jvm_bloom,
+                    "seen_rows_approx": seen_state.seen_rows_approx,
+                },
+            },
+            append={"seen": sd, "fetch_log": fl},
+        )
+        seen_deltas = []
+        fetch_logs = []
+        # re-read to truncate lineage at the snapshot boundary. The
+        # bloom is NOT restored in broadcast mode: the driver shards
+        # are already authoritative and have no lineage to truncate —
+        # re-seeding them here would collect the full bitset set to
+        # the driver and mark every shard dirty (a full rebroadcast
+        # next round), reinstating exactly the per-round full-bloom
+        # round-trip the delta-broadcast chain eliminates. Shards are
+        # seeded from the store only on an actual resume.
+        pending = store.load("pending")
+        reload_bloom = seen_state.is_sharded
+        # assume_large=False: this is the in-loop lineage-truncation
+        # restore — seen_rows_approx is already exact via add() hints;
+        # inflating it would lock toy crawls onto the slim-join shape's
+        # fixed per-round latency (ADVICE r3 #2)
+        seen_state.restore(
+            store.load("seen"),
+            store.load("bloom") if reload_bloom else None,
+            assume_large=False,
+        )
+        fetch_log_base = store.load("fetch_log")
+
+    import time as _time
+
+    eager_state = not config.lazy_state_checkpoints
     r = start_round
     while r < config.max_rounds:
+        tr: dict = {"round": r}
+        t0 = _time.monotonic()
         scheduled = politeness_topk(
             pending, politeness, config.default_budget, config.n_salts
         ).localCheckpoint(eager=True)
-        # one action yields both the count and the per-partition lineage
-        part_rows = (
-            scheduled.groupBy(
-                F.pmod(F.col("url_hash"), F.lit(config.num_partitions)).cast("int").alias("pid")
-            )
-            .count()
-            .collect()
-        )
-        n_sched = sum(x["count"] for x in part_rows)
-        if n_sched == 0:
-            break
+        tr["politeness_ckpt_sec"] = round(_time.monotonic() - t0, 3)
 
         fetch_log_r = scheduled.select(
             F.lit(r).alias("round"), "url_canon", "surt", "url_hash", "host",
             "depth", "src_doc_id",
         )
-        fetch_logs.append(fetch_log_r)
-        pending = pending.join(scheduled.select("surt"), "surt", "left_anti")
+        pending_next = pending.join(
+            scheduled.select("surt"), "surt", "left_anti"
+        )
 
         # fetch: exact canonical-URL match against the document table.
         # scheduled is tiny vs documents -> broadcast the scheduled side.
@@ -301,24 +382,80 @@ def run_crawl(
         )
 
         novel = seen_state.novel(discovered)
+        t0 = _time.monotonic()
         gated = gate(novel).localCheckpoint(eager=True)
-        counts = gated.agg(
-            F.count(F.lit(1)).alias("novel"),
-            F.sum(F.col("robots_denied").cast("long")).alias("denied"),
-        ).collect()[0]
-        n_novel = counts["novel"]
-        n_denied = int(counts["denied"] or 0)
+        tr["fetch_gate_ckpt_sec"] = round(_time.monotonic() - t0, 3)
 
+        # ONE merged driver action for everything the round must learn
+        # (VERDICT r5 next #3 — was two collects): the scheduled count +
+        # per-partition lineage AND the gated novel/denied counts, as a
+        # union of two tiny aggregates over the two checkpointed frames.
+        t0 = _time.monotonic()
+        pid_col = (
+            F.pmod(F.col("url_hash"), F.lit(config.num_partitions))
+            .cast("int")
+            .alias("pid")
+        )
+        sched_stats = scheduled.groupBy(pid_col).agg(
+            F.count(F.lit(1)).alias("value")
+        ).select(F.lit("part").alias("kind"), "pid", "value")
+        gated_stats = (
+            gated.agg(
+                F.count(F.lit(1)).alias("novel"),
+                F.sum(F.col("robots_denied").cast("long")).alias("denied"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("novel").alias("kind"),
+                            F.lit(-1).alias("pid"),
+                            F.col("novel").cast("long").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit("denied").alias("kind"),
+                            F.lit(-1).alias("pid"),
+                            F.coalesce(F.col("denied"), F.lit(0))
+                            .cast("long")
+                            .alias("value"),
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.*")
+        )
+        stats = sched_stats.unionByName(gated_stats).collect()
+        part_rows = [x for x in stats if x["kind"] == "part"]
+        n_sched = sum(x["value"] for x in part_rows)
+        n_novel = next(x["value"] for x in stats if x["kind"] == "novel")
+        n_denied = int(next(x["value"] for x in stats if x["kind"] == "denied"))
+        tr["stats_collect_sec"] = round(_time.monotonic() - t0, 3)
+        if n_sched == 0:
+            # nothing scheduled -> the (empty) round changed no state;
+            # flush any deltas deferred by commit_every before stopping
+            if store and (fetch_logs or seen_deltas):
+                _commit_snapshot(r)
+            break
+        fetch_logs.append(fetch_log_r)
+        pending = pending_next
+
+        t0 = _time.monotonic()
         seen_state.add(gated, n_rows=n_novel)  # hint: auto mode-demotion
         seen_deltas.append(gated.select("url_hash", "surt", "url_canon"))
         allowed = gated.filter(~F.col("robots_denied")).select(*PENDING_COLS)
-        pending = pending.unionByName(allowed).localCheckpoint(eager=True)
-        seen_state.seen = seen_state.seen.localCheckpoint(eager=True)
+        tr["seen_add_sec"] = round(_time.monotonic() - t0, 3)
+        # carry-over state: lazily checkpointed by default — the lineage
+        # cut still happens, but materialization rides the next round's
+        # first job instead of costing a dedicated job here
+        t0 = _time.monotonic()
+        pending = pending.unionByName(allowed).localCheckpoint(eager=eager_state)
+        seen_state.seen = seen_state.seen.localCheckpoint(eager=eager_state)
         if seen_state.is_sharded:
             # sharded mode (configured, or auto-demoted on a large delta):
             # truncate the cogroup lineage. Broadcast and jvm modes keep
             # their bits on the driver — nothing to checkpoint here.
             seen_state.bloom = seen_state.bloom.localCheckpoint(eager=True)
+        tr["state_ckpt_sec"] = round(_time.monotonic() - t0, 3)
 
         # derived, not re-counted: pending' = pending - scheduled + allowed
         # (the scheduled anti-join removes exactly n_sched rows — scheduled
@@ -334,68 +471,17 @@ def run_crawl(
             }
         )
         partition_metrics.append(
-            {"round": r, "scheduled_per_partition": {int(x["pid"]): x["count"] for x in part_rows}}
+            {"round": r, "scheduled_per_partition": {int(x["pid"]): x["value"] for x in part_rows}}
         )
 
-        if store:
-            sd = seen_deltas[0]
-            for extra in seen_deltas[1:]:
-                sd = sd.unionByName(extra)
-            fl = fetch_logs[0]
-            for extra in fetch_logs[1:]:
-                fl = fl.unionByName(extra)
-            # pending mutates non-monotonically -> full rewrite (bounded by
-            # the live frontier; Iceberg swap: merge-on-read). bloom bitsets
-            # mutate in place -> full rewrite (3 GB at the 10^10 design
-            # point vs ~1 TB for seen — the seen/fetch_log deltas are the
-            # write-amplification fix that matters).
-            tables = {"pending": pending}
-            if config.use_bloom:
-                tables["bloom"] = seen_state.bloom
-            store.commit(
-                tables,
-                {
-                    "next_round": r + 1,
-                    "metrics": metrics,
-                    "partition_metrics": partition_metrics,
-                    # seen-state mode must survive resume: a crawl that
-                    # auto-demoted to cogroup-sharded must NOT resume into
-                    # broadcast mode (restore would collect the full bitset
-                    # set — ~3 GB at the 10^10 design point — to the driver
-                    # and re-enter the mode the demotion guard escaped).
-                    # The exact row count lets resume keep the right
-                    # novel() join shape without an extra action.
-                    # (ADVICE r3 #4.)
-                    "seen_state": {
-                        "broadcast_bloom": seen_state.broadcast_bloom,
-                        "jvm_bloom": seen_state.jvm_bloom,
-                        "seen_rows_approx": seen_state.seen_rows_approx,
-                    },
-                },
-                append={"seen": sd, "fetch_log": fl},
-            )
-            seen_deltas = []
-            fetch_logs = []
-            # re-read to truncate lineage at the snapshot boundary. The
-            # bloom is NOT restored in broadcast mode: the driver shards
-            # are already authoritative and have no lineage to truncate —
-            # re-seeding them here would collect the full bitset set to
-            # the driver and mark every shard dirty (a full rebroadcast
-            # next round), reinstating exactly the per-round full-bloom
-            # round-trip the delta-broadcast chain eliminates. Shards are
-            # seeded from the store only on an actual resume.
-            pending = store.load("pending")
-            reload_bloom = seen_state.is_sharded
-            # assume_large=False: this is the in-loop lineage-truncation
-            # restore — seen_rows_approx is already exact via add() hints;
-            # inflating it would lock toy crawls onto the slim-join shape's
-            # fixed per-round latency (ADVICE r3 #2)
-            seen_state.restore(
-                store.load("seen"),
-                store.load("bloom") if reload_bloom else None,
-                assume_large=False,
-            )
-            fetch_log_base = store.load("fetch_log")
+        if store and (
+            (r + 1 - start_round) % config.commit_every == 0
+            or r == config.max_rounds - 1
+        ):
+            t0 = _time.monotonic()
+            _commit_snapshot(r + 1)
+            tr["commit_sec"] = round(_time.monotonic() - t0, 3)
+        timings.append(tr)
         r += 1
 
     parts = ([fetch_log_base] if fetch_log_base is not None else []) + fetch_logs
@@ -417,4 +503,5 @@ def run_crawl(
         metrics=metrics,
         partition_metrics=partition_metrics,
         rounds_run=r - start_round,
+        timings=timings,
     )

@@ -86,6 +86,12 @@ def parse_warc_member(data: bytes, base: int) -> tuple[dict | None, int, str | N
                 return None, base, f"bad Content-Length: {value[:40]!r}"
     if length is None:
         return None, base, "missing Content-Length"
+    if length < 0:
+        # without this guard a crafted negative length points body_end
+        # BEFORE the record — the separator check can then match the
+        # PREVIOUS record's trailing CRLFCRLF and next_offset <= base,
+        # which would loop parse_warc_file forever (fuzz-found)
+        return None, base, f"negative Content-Length: {length}"
     body_start = hdr_end + 4
     body_end = body_start + length
     if data[body_end:body_end + 4] != CRLF + CRLF:
