@@ -44,6 +44,11 @@ TIERS = {
     # pipeline instead of fixed per-round job cost (the old "bench" tier
     # scheduled 938 URLs across 3 rounds — fixed cost was ~100% of it)
     "mid": Tier(n_docs=2_000_000, n_hosts=5_000, links_per_doc=8, n_seeds=50_000),
+    # 10x mid (VERDICT r5 next #6): one run at this tier makes the
+    # frontier F+W/cores fixed-cost fit falsifiable — the fit projects
+    # its efficiency at 10x the round size; measuring it checks the model
+    "mid10x": Tier(n_docs=20_000_000, n_hosts=50_000, links_per_doc=8,
+                   n_seeds=500_000),
 }
 
 HEAVY_HOST = "heavy.example.org"
