@@ -152,6 +152,45 @@ def test_deferred_commit_every_k_rounds(spark, fixture_dir, oracle_result, tmp_p
     assert {r["surt"] for r in resumed.seen.collect()} == set(oracle_result.seen)
 
 
+def test_kill_with_uncommitted_deferred_rounds_resumes_exactly(
+    spark, fixture_dir, oracle_result, tmp_path, monkeypatch
+):
+    """The deferred-commit durability contract: a kill loses at most k-1
+    uncommitted rounds, and resume REPLAYS them exactly. Simulated by
+    dropping every snapshot commit after the first on the floor (the
+    crash happens before later commits reach disk), then resuming: the
+    store holds only rounds 0-1, so rounds 2+ re-run — and the replayed
+    crawl must still match the sequential oracle row-for-row."""
+    from warchaeology_spark.frontier import checkpoint as cp
+
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    root = str(tmp_path / "snap_kill")
+    real_commit = cp.SnapshotStore.commit
+    n_commits = {"n": 0}
+
+    def crashy_commit(self, *a, **kw):
+        n_commits["n"] += 1
+        if n_commits["n"] > 1:
+            return None  # commit never reached disk: the process died
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(cp.SnapshotStore, "commit", crashy_commit)
+    run_crawl(spark, docs, seeds, robots, pol,
+              CrawlConfig(max_rounds=4, store_root=root, commit_every=2))
+    monkeypatch.setattr(cp.SnapshotStore, "commit", real_commit)
+    assert n_commits["n"] > 1  # the crawl DID attempt later commits
+
+    resumed = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, store_root=root, resume=True,
+                    commit_every=2),
+    )
+    # the store's manifest stops at round 2 -> rounds 2-4 replay
+    assert resumed.rounds_run == 3
+    assert _fetch_tuples(resumed.fetch_log) == _oracle_tuples(oracle_result)
+    assert {r["surt"] for r in resumed.seen.collect()} == set(oracle_result.seen)
+
+
 def test_eager_state_checkpoints_equivalent(spark, fixture_dir, oracle_result):
     """lazy_state_checkpoints=False (the r5 behavior: a dedicated
     materialization job per carry-over table per round) must produce the

@@ -5,14 +5,22 @@ Contract under ANY input bytes: ``parse_warc_file`` never raises, never
 loses a record that precedes the damage, emits at most one trailing
 error row per damage site, and every good row re-serializes to exactly
 the bytes it claims ([offset, offset+raw_length) for plain files; the
-uncompressed member stream for gzip). Pure-Python property tests — no
-Spark session, so hypothesis can run hundreds of examples cheaply; the
-Spark path is the same function inside mapInPandas (pinned elsewhere).
+uncompressed member stream for gzip) — PROVIDED the record's header
+block is canonical (UTF-8, every line ``Name: value`` with the single
+optional SP present). A parseable-but-non-canonical block (grammar
+allows ``Name:value`` — fuzz-found via a single byte flip landing on
+the separator SP) round-trips SEMANTICALLY instead: emission
+canonicalizes the separator, exactly like the reference's repair path
+normalizes formatting on write (warcfixer; gowarc strict mode flags the
+missing SP as a validation error rather than altering offsets).
+Pure-Python property tests — no Spark session, so hypothesis can run
+hundreds of examples cheaply; the Spark path is the same function
+inside mapInPandas (pinned elsewhere).
 """
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from warchaeology_spark.sources.warc import (
@@ -71,7 +79,31 @@ def test_plain_truncation_keeps_priors(payloads, cut):
         assert len(bad) == 1 and bad[0]["offset"] == offs[n_complete]
 
 
+def _hdr_block_class(data: bytes, offset: int) -> str:
+    """'canonical' | 'noncanonical' | 'binary' for the header block at
+    ``offset``: canonical = valid UTF-8 AND every header line's colon is
+    followed by the single optional SP (the only form ``serialize_record``
+    emits, so the only form whose round-trip can be byte-exact)."""
+    hdr_end = data.find(b"\r\n\r\n", offset)
+    block = data[offset:hdr_end]
+    try:
+        block.decode("utf-8")
+    except UnicodeDecodeError:
+        # the WARC spec says headers are UTF-8; the parse's replacement
+        # decoding is lossy here by design (payload bytes always
+        # round-trip: they are carried as bytes, never decoded)
+        return "binary"
+    for ln in block.split(b"\r\n")[1:]:
+        post = ln.split(b":", 1)
+        if len(post) == 2 and post[1][:1] not in (b" ", b""):
+            return "noncanonical"
+        if len(post) == 2 and post[1] == b"":
+            return "noncanonical"  # 'Name:' -> emission adds the SP
+    return "canonical"
+
+
 @settings(max_examples=150, deadline=None)
+@example(payloads=[b"\r\n\r\n"], pos=53, b=0)  # flip lands on a separator SP
 @given(
     payloads=_payloads,
     pos=st.integers(min_value=0, max_value=1_000_000),
@@ -80,7 +112,9 @@ def test_plain_truncation_keeps_priors(payloads, cut):
 def test_plain_byte_flip_never_raises_never_lies(payloads, pos, b):
     """Flipping ONE byte anywhere: no exception, parsing stops at (or
     passes through — payload bytes are opaque) the damage, and every good
-    row's re-serialization equals the mutated bytes it addresses."""
+    row's re-serialization equals the mutated bytes it addresses when the
+    header block is canonical — else re-serialization must at least
+    REPARSE to the identical record (the repair-normalization contract)."""
     recs, _ = _corpus(payloads)
     blob = bytearray(b"".join(recs))
     pos = min(pos, len(blob) - 1)
@@ -92,21 +126,17 @@ def test_plain_byte_flip_never_raises_never_lies(payloads, pos, b):
         if r["error"] is None:
             assert r["offset"] > prev_end - 1  # strictly forward progress
             end = r["offset"] + r["raw_length"]
-            hdr_end = data.find(b"\r\n\r\n", r["offset"])
-            try:
-                data[r["offset"] : hdr_end].decode("utf-8")
-                hdr_utf8 = True
-            except UnicodeDecodeError:
-                # a flip INSIDE the header block can make it invalid
-                # UTF-8; the WARC spec says headers are UTF-8, so the
-                # parse's replacement decoding is lossy there by design —
-                # byte-exact round-trip is only promised for conformant
-                # header blocks (payload bytes always round-trip: they
-                # are carried as bytes, never decoded)
-                hdr_utf8 = False
-            if hdr_utf8:
-                ser = serialize_record(r["version"], r["headers"], r["content"])
+            klass = _hdr_block_class(data, r["offset"])
+            ser = serialize_record(r["version"], r["headers"], r["content"])
+            if klass == "canonical":
                 assert data[r["offset"] : end] == ser
+            elif klass == "noncanonical":
+                # canonicalized emission: same record, normalized SP
+                rows2 = parse_warc_file("f.warc", ser)
+                assert [x["error"] for x in rows2] == [None]
+                assert rows2[0]["version"] == r["version"]
+                assert rows2[0]["headers"] == r["headers"]
+                assert rows2[0]["content"] == r["content"]
             prev_end = end
     assert sum(1 for r in rows if r["error"] is not None) <= 1
 

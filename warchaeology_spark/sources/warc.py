@@ -188,7 +188,16 @@ def parse_warc_file(name: str, data: bytes) -> list[dict]:
 
 
 def serialize_record(version: str, headers: list[tuple[str, str]], content: bytes) -> bytes:
-    """Exact inverse of parse_warc_member (cat.go:285-344 emission)."""
+    """Inverse of parse_warc_member (cat.go:285-344 emission).
+
+    Byte-exact for canonical header blocks (every line ``Name: value``
+    with the single optional SP, the form every writer in this repo
+    emits). A parseable-but-non-canonical input line (``Name:value`` —
+    the grammar's SP is optional) re-emits canonicalized with the SP
+    restored: same record on reparse, normalized formatting — the same
+    normalize-on-write behavior as the reference's repair path
+    (warcfixer; gowarc strict mode flags the missing SP as a validation
+    error). Fuzz-pinned in tests/test_warc_fuzz.py."""
     head = CRLF.join(
         [version.encode()] + [f"{n}: {v}".encode() for n, v in headers]
     )
