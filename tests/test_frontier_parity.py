@@ -414,3 +414,45 @@ def test_span_sequence_invariant(spark, fixture_dir):
         for r in docs.collect()
     }
     assert eng == ref
+
+
+def test_all_seeds_denied_first_round_flush(spark, fixture_dir, tmp_path):
+    """ADVICE r6 medium: a fresh store-backed crawl whose FIRST round
+    schedules zero URLs (all seeds robots-denied) reaches the flush with
+    seen_deltas=[seed delta] but fetch_logs=[] — pre-fix this crashed with
+    IndexError in _commit_snapshot. Must instead commit the seed delta,
+    omit the fetch_log append, and finish with an empty fetch log."""
+    from warchaeology_spark.functions.urls import host_of
+
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    deny_all = (
+        seeds.select(host_of("url").alias("host"))
+        .unionByName(robots.select("host"))
+        .distinct()
+        .select("host", F.lit("/").alias("path_pref"), F.lit(False).alias("allow"))
+    )
+    root = str(tmp_path / "snap_denied")
+    res = run_crawl(
+        spark, docs, seeds, deny_all, pol,
+        CrawlConfig(max_rounds=3, store_root=root),
+    )
+    assert res.fetch_log.count() == 0
+    # the seeds still entered the seen set (they were considered, denied)
+    assert res.seen.count() >= seeds.count()
+    # and the store is resumable without error
+    resumed = run_crawl(
+        spark, docs, seeds, deny_all, pol,
+        CrawlConfig(max_rounds=3, store_root=root, resume=True),
+    )
+    assert resumed.fetch_log.count() == 0
+
+
+def test_commit_every_validation(spark, fixture_dir):
+    """ADVICE r6 low: commit_every=0 hit the in-loop modulo as a
+    ZeroDivisionError; negatives gave a nonsensical cadence. Both must
+    raise ValueError up front."""
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="commit_every"):
+            run_crawl(spark, docs, seeds, robots, pol,
+                      CrawlConfig(max_rounds=1, commit_every=bad))

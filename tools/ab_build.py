@@ -45,12 +45,24 @@ def ensure_baseline_clone(ref: str) -> str:
     if rp.returncode != 0 or not sha:
         raise SystemExit(f"unknown ref: {ref}")
     path = f"/tmp/ab_build_{sha[:12]}"
+    # a half-created or stale clone silently benches the wrong code labeled
+    # "baseline" (ADVICE r6 low): clone/checkout must hard-fail, and a
+    # reused dir must actually sit at the resolved sha
     if not os.path.isdir(path):
-        _sh(["git", "clone", "-q", REPO, path])
-        _sh(["git", "checkout", "-q", sha], cwd=path)
+        _sh(["git", "clone", "-q", REPO, path]).check_returncode()
+        _sh(["git", "checkout", "-q", sha], cwd=path).check_returncode()
+    head = _sh(["git", "rev-parse", "HEAD"], cwd=path)
+    head.check_returncode()
+    if head.stdout.strip() != sha:
+        raise SystemExit(
+            f"stale baseline clone at {path}: HEAD={head.stdout.strip()[:12]} "
+            f"!= {sha[:12]} — remove the dir and rerun"
+        )
     # the submit zip is what local-cluster executors import
-    _sh(["bash", os.path.join(path, "tools", "make_submit.sh")], cwd=path)
-    _sh(["bash", os.path.join(REPO, "tools", "make_submit.sh")], cwd=REPO)
+    _sh(["bash", os.path.join(path, "tools", "make_submit.sh")],
+        cwd=path).check_returncode()
+    _sh(["bash", os.path.join(REPO, "tools", "make_submit.sh")],
+        cwd=REPO).check_returncode()
     return path
 
 
@@ -83,8 +95,13 @@ def run_leg(repo: str, mode: str, master: str, cpus: int) -> dict:
         float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "600")),
     )
     flag = "--frontier-only" if mode == "frontier" else "--kernel-only"
-    out = _sh([sys.executable, "bench.py", flag], env=env, cwd=repo,
-              timeout=2400)
+    try:
+        out = _sh([sys.executable, "bench.py", flag], env=env, cwd=repo,
+                  timeout=2400)
+    except subprocess.TimeoutExpired:
+        # record an error leg instead of aborting the whole interleaved
+        # run — losing the remaining legs loses the A/B (ADVICE r6 low)
+        return {"error": "bench leg timed out (2400s)", "loadavg_at_gate": load}
     try:
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]

@@ -131,7 +131,12 @@ class SnapshotStore:
         amortized."""
         v = (self.latest_version() or 0) + 1
         prev = self.manifest(v - 1)["tables"] if v > 1 else {}
-        entry = {"version": v, "meta": meta, "tables": {}}
+        # snapshot semantics: tables not touched by this commit keep their
+        # previous data (Iceberg: an append/overwrite on table X leaves
+        # table Y's snapshot intact). Without this, a commit with an empty
+        # round delta (e.g. a flush where no rounds logged fetches) would
+        # silently DROP the previous chain from the manifest.
+        entry = {"version": v, "meta": meta, "tables": dict(prev)}
         for name, df in tables.items():
             path = f"{self.root}/data/v{v}/{name}"
             df.write.mode("overwrite").parquet(path)

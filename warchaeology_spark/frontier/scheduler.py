@@ -149,6 +149,12 @@ def run_crawl(
     politeness: DataFrame,
     config: CrawlConfig = CrawlConfig(),
 ) -> CrawlResult:
+    if config.commit_every < 1:
+        # 0 would hit the in-loop modulo as a ZeroDivisionError and negative
+        # values would produce a nonsensical commit cadence (ADVICE r6 low)
+        raise ValueError(
+            f"commit_every must be >= 1, got {config.commit_every}"
+        )
     store = SnapshotStore(spark, config.store_root) if config.store_root else None
     if store and not config.resume and store.latest_version() is not None:
         # A fresh crawl must not chain onto an old crawl's append deltas:
@@ -262,12 +268,22 @@ def run_crawl(
         round) seen/fetch deltas, rewrite pending + bloom, then re-read to
         truncate lineage at the snapshot boundary."""
         nonlocal fetch_logs, seen_deltas, pending, fetch_log_base
-        sd = seen_deltas[0]
-        for extra in seen_deltas[1:]:
-            sd = sd.unionByName(extra)
-        fl = fetch_logs[0]
-        for extra in fetch_logs[1:]:
-            fl = fl.unionByName(extra)
+        # Either delta list may be empty at a flush (e.g. a fresh crawl whose
+        # FIRST round schedules nothing: seen_deltas holds the seed delta but
+        # fetch_logs is [] — ADVICE r6 medium). Union only what exists and
+        # omit the corresponding append key; commit() appends nothing for
+        # absent keys, so an empty delta costs no snapshot file.
+        append: dict[str, DataFrame] = {}
+        if seen_deltas:
+            sd = seen_deltas[0]
+            for extra in seen_deltas[1:]:
+                sd = sd.unionByName(extra)
+            append["seen"] = sd
+        if fetch_logs:
+            fl = fetch_logs[0]
+            for extra in fetch_logs[1:]:
+                fl = fl.unionByName(extra)
+            append["fetch_log"] = fl
         # pending mutates non-monotonically -> full rewrite (bounded by
         # the live frontier; Iceberg swap: merge-on-read). bloom bitsets
         # mutate in place -> full rewrite (3 GB at the 10^10 design
@@ -296,7 +312,7 @@ def run_crawl(
                     "seen_rows_approx": seen_state.seen_rows_approx,
                 },
             },
-            append={"seen": sd, "fetch_log": fl},
+            append=append,
         )
         seen_deltas = []
         fetch_logs = []
@@ -318,8 +334,15 @@ def run_crawl(
             store.load("seen"),
             store.load("bloom") if reload_bloom else None,
             assume_large=False,
+            # in-loop lineage-truncation restore of bits this same crawl
+            # just wrote — the jvm-layout format probe (a driver job in
+            # sharded mode) is only needed on a true resume (ADVICE r6 low)
+            check_format=False,
         )
-        fetch_log_base = store.load("fetch_log")
+        # a flush with zero logged fetches (fresh crawl whose first round
+        # schedules nothing) commits no fetch_log table
+        if store.has_table("fetch_log"):
+            fetch_log_base = store.load("fetch_log")
 
     import time as _time
 

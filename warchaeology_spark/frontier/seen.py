@@ -272,6 +272,15 @@ class SeenState:
 
     @bloom.setter
     def bloom(self, df: DataFrame) -> None:
+        self._set_bloom(df, check_format=True)
+
+    def _set_bloom(self, df: DataFrame, check_format: bool = True) -> None:
+        """``check_format=False`` skips the sharded-mode jvm-layout probe
+        (a filter+limit+count driver job) — safe ONLY when the caller knows
+        the frame's provenance, i.e. the scheduler's in-loop lineage-
+        truncation restore of bits this same crawl just wrote (ADVICE r6
+        low: the probe cost one extra driver job per commit). True resumes
+        and direct property assignment always probe."""
         if self.jvm_bloom:
             rows = df.filter(F.col("pid") == -1).collect()
             if rows:
@@ -291,7 +300,7 @@ class SeenState:
             # shards can't read — silently adopting it would make novel()
             # crash (no real-pid rows) or, worse after an add(), re-schedule
             # previously-seen URLs (ADVICE r5 medium).
-            if df.filter(F.col("pid") < 0).limit(1).count() > 0:
+            if check_format and df.filter(F.col("pid") < 0).limit(1).count() > 0:
                 raise ValueError(
                     "bloom checkpoint was written in jvm serving mode "
                     "(BloomFilterImpl layout); its bits are not readable "
@@ -624,7 +633,11 @@ class SeenState:
             write_fn("bloom", self.bloom)
 
     def restore(
-        self, seen: DataFrame, bloom: DataFrame | None, assume_large: bool = True
+        self,
+        seen: DataFrame,
+        bloom: DataFrame | None,
+        assume_large: bool = True,
+        check_format: bool = True,
     ) -> None:
         """``assume_large``: on a true resume the state size is unknown
         without an action, so assume large and let novel() pick the
@@ -637,7 +650,8 @@ class SeenState:
         if assume_large:
             self.seen_rows_approx = max(self.seen_rows_approx, self.slim_join_min_rows)
         if bloom is not None:
-            self.bloom = bloom  # broadcast mode: seeds driver shards (setter)
+            # broadcast mode: seeds driver shards (setter path)
+            self._set_bloom(bloom, check_format=check_format)
             if self.jvm_bloom and self._jvm_words is None:
                 # checkpoint came from a different bloom mode: rebuild the
                 # JVM-layout bitset from the exact seen table (one 8 B/row
