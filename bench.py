@@ -386,6 +386,42 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     out_master = spark.sparkContext.master
 
+    # Registry-vs-driver-row-set tripwire (VERDICT r6 next #8): the driver
+    # records at most 50 CORRECTNESS rows; for two rounds a 51-entry
+    # registry silently lost its 51st entry. Warn LOUDLY (stderr, never
+    # the JSON line) when the registry size drifts from the newest
+    # CORRECTNESS_r*.json row set so the mismatch surfaces the same round
+    # it is introduced.
+    import glob
+    import re as _re
+
+    reg_names = set(queries().keys())
+    corr_files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CORRECTNESS_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if corr_files:
+        try:
+            driver_names = set(json.load(open(corr_files[-1])).keys())
+        except Exception:
+            driver_names = set()
+        if driver_names and driver_names != reg_names:
+            print(
+                "WARNING: registry/driver row-set mismatch vs "
+                f"{os.path.basename(corr_files[-1])}: "
+                f"registry-only={sorted(reg_names - driver_names)} "
+                f"driver-only={sorted(driver_names - reg_names)}",
+                file=sys.stderr,
+            )
+    if len(reg_names) > 50:
+        print(
+            f"WARNING: registry has {len(reg_names)} entries; the driver "
+            "records at most 50 CORRECTNESS rows — entries past 50 get NO "
+            "driver row",
+            file=sys.stderr,
+        )
+
     out: dict = {"sf": sf_dir, "cpus": cpus, "unit": "sec", "master": out_master}
     qtimes: dict[str, float] = {}
     # Field semantics (VERDICT r3 wrong #1: one "value" field carried
