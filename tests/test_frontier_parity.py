@@ -456,3 +456,21 @@ def test_commit_every_validation(spark, fixture_dir):
         with pytest.raises(ValueError, match="commit_every"):
             run_crawl(spark, docs, seeds, robots, pol,
                       CrawlConfig(max_rounds=1, commit_every=bad))
+
+
+def test_profile_stages_parity(spark, fixture_dir, oracle_result):
+    """profile_stages adds checkpoints + count jobs for attribution; the
+    crawl itself must be bit-identical, and the per-round timing rows
+    must carry the stage fields."""
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, num_partitions=4, expected_total=20_000,
+                    profile_stages=True),
+    )
+    assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
+    assert all(
+        {"extract_dedup_sec", "novel_filter_sec", "discovered_rows",
+         "novel_rows"} <= set(t)
+        for t in res.timings if t.get("round", 0) < res.rounds_run
+    )

@@ -88,6 +88,15 @@ class CrawlConfig:
     # two fewer driver-side job round trips per round. Same lineage
     # truncation, same results; False restores the r5 behavior.
     lazy_state_checkpoints: bool = True
+    # Opt-in per-STAGE attribution inside the fetch/gate phase (VERDICT r6
+    # next #5: mid10x fetch_gate grew 43 -> 71 -> 86 s/round; is the
+    # growth candidate volume or |seen|-superlinear?). When True, the
+    # round loop materializes `discovered` (extract + dedup shuffle +
+    # winner canonicalization) and `novel` (bloom test + exact rescue)
+    # separately, records each stage's wall-clock plus the intermediate
+    # row counts. Extra checkpoints + count jobs per round — profiling
+    # only, never the production path.
+    profile_stages: bool = False
 
 
 @dataclass
@@ -404,7 +413,17 @@ def run_crawl(
             F.col("w.src_doc_id").alias("src_doc_id"),
         )
 
-        novel = seen_state.novel(discovered)
+        if config.profile_stages:
+            t0 = _time.monotonic()
+            discovered = discovered.localCheckpoint(eager=True)
+            tr["extract_dedup_sec"] = round(_time.monotonic() - t0, 3)
+            tr["discovered_rows"] = discovered.count()  # cached, one cheap job
+            t0 = _time.monotonic()
+            novel = seen_state.novel(discovered).localCheckpoint(eager=True)
+            tr["novel_filter_sec"] = round(_time.monotonic() - t0, 3)
+            tr["novel_rows"] = novel.count()
+        else:
+            novel = seen_state.novel(discovered)
         t0 = _time.monotonic()
         gated = gate(novel).localCheckpoint(eager=True)
         tr["fetch_gate_ckpt_sec"] = round(_time.monotonic() - t0, 3)
