@@ -118,7 +118,13 @@ def run_frontier(spark) -> dict:
                 max_rounds=FRONTIER_ROUNDS,
                 default_budget=2 * budget_scale,
                 num_partitions=max(8, cpus),
-                expected_total=5_000_000,
+                # 5M kept as the default for cross-round comparability
+                # (mid & mid10x have always run with it); override for
+                # larger tiers where a 5M-sized bloom would false-positive
+                # its way into oversized rescue joins (e.g. mid30x)
+                expected_total=int(
+                    os.environ.get("SPARK_GRAFT_FRONTIER_EXPECTED", "5000000")
+                ),
                 n_salts=max(4, cpus // 4),
                 # per-stage fetch/gate attribution (extract+dedup vs
                 # bloom+rescue vs robots gate) — profiling runs only
@@ -220,6 +226,11 @@ def run_kernel(spark, n_urls: int) -> dict:
         broadcast_bloom=bloom_mode == "broadcast",
         jvm_bloom=bloom_mode == "jvm",
         broadcast_max_delta=n_urls,  # the pre-seen half is one big delta
+        # evaluate the bloom-tested frame once (cache) instead of twice
+        # (survivors build + probe scan) — A/B knob, see seen.py
+        fpp_checkpoint_tested=os.environ.get(
+            "SPARK_GRAFT_KERNEL_FPP_CKPT", "0"
+        ) == "1",
     )
     # NOTE (measured negative result, round 3): caching seen
     # pre-partitioned + pre-sorted on the anti-join keys (repartition +

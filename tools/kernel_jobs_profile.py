@@ -59,6 +59,9 @@ def main() -> None:
     seen = SeenState(
         spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True,
         broadcast_bloom=True, broadcast_max_delta=n_urls,
+        fpp_checkpoint_tested=os.environ.get(
+            "SPARK_GRAFT_KERNEL_FPP_CKPT", "0"
+        ) == "1",
     )
     pre = spark.range(0, n_urls, 2, numPartitions=cpus).select(
         F.format_string(

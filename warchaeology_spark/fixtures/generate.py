@@ -49,6 +49,10 @@ TIERS = {
     # its efficiency at 10x the round size; measuring it checks the model
     "mid10x": Tier(n_docs=20_000_000, n_hosts=50_000, links_per_doc=8,
                    n_seeds=500_000),
+    # 30x mid (VERDICT r6 next #6, "if time permits"): a second decade
+    # point for the amortization extrapolation the charter cares about
+    "mid30x": Tier(n_docs=60_000_000, n_hosts=150_000, links_per_doc=8,
+                   n_seeds=1_500_000),
 }
 
 HEAVY_HOST = "heavy.example.org"
