@@ -126,6 +126,11 @@ def run_frontier(spark) -> dict:
                     os.environ.get("SPARK_GRAFT_FRONTIER_EXPECTED", "5000000")
                 ),
                 n_salts=max(4, cpus // 4),
+                # evaluate the bloom-tested candidates once (cached)
+                # instead of twice — same knob as the kernel segment
+                fpp_checkpoint_tested=os.environ.get(
+                    "SPARK_GRAFT_FRONTIER_FPP_CKPT", "0"
+                ) == "1",
                 # per-stage fetch/gate attribution (extract+dedup vs
                 # bloom+rescue vs robots gate) — profiling runs only
                 profile_stages=os.environ.get(
@@ -226,10 +231,16 @@ def run_kernel(spark, n_urls: int) -> dict:
         broadcast_bloom=bloom_mode == "broadcast",
         jvm_bloom=bloom_mode == "jvm",
         broadcast_max_delta=n_urls,  # the pre-seen half is one big delta
-        # evaluate the bloom-tested frame once (cache) instead of twice
-        # (survivors build + probe scan) — A/B knob, see seen.py
+        # Evaluate the bloom-tested frame once (cached) instead of twice
+        # (survivors build + probe scan) — DEFAULT ON since the r7 A/B on
+        # the bench instrument, same session back-to-back legs:
+        #   1x4-core executors: 123.7 -> 107.1 s best-of-3 (-13%)
+        #   4x4-core executors: 39.4 -> 29.9 s best-of-3 (-24%, profiler)
+        # The cache is one round's candidates (never |seen|), so the
+        # materialization stays round-sized at any crawl scale. Revert
+        # with SPARK_GRAFT_KERNEL_FPP_CKPT=0.
         fpp_checkpoint_tested=os.environ.get(
-            "SPARK_GRAFT_KERNEL_FPP_CKPT", "0"
+            "SPARK_GRAFT_KERNEL_FPP_CKPT", "1"
         ) == "1",
     )
     # NOTE (measured negative result, round 3): caching seen

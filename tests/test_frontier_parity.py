@@ -82,6 +82,22 @@ def test_bloom_off_equivalence(spark, fixture_dir, oracle_result):
     assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
 
 
+def test_fpp_checkpoint_tested_equivalence(spark, fixture_dir, oracle_result):
+    # CrawlConfig.fpp_checkpoint_tested (evaluate the bloom-tested
+    # candidates once, cached) must preserve exact fetch-log parity.
+    # (At this fixture's size novel() takes the branchy small-state
+    # shape — the slim-branch checkpoint itself is pinned row-exact in
+    # test_seen_bloom.test_slim_and_branchy_novel_shapes_agree; this
+    # test pins the config plumbing end-to-end.)
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, use_bloom=True, num_partitions=4,
+                    expected_total=20_000, fpp_checkpoint_tested=True),
+    )
+    assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
+
+
 def test_bloom_sharded_equivalence(spark, fixture_dir, oracle_result):
     # cogroup-sharded bloom path (broadcast off) must match too
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)

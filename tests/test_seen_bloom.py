@@ -109,9 +109,10 @@ def test_slim_and_branchy_novel_shapes_agree(spark):
     seen_rows = list(range(0, 100, 2))
     cand_rows = list(range(50, 150)) + [51, 53]  # overlaps + dup candidates
 
-    def run(slim_min):
+    def run(slim_min, fpp_ckpt=False):
         st = SeenState(spark, num_partitions=4, expected_total=1000,
-                       use_bloom=True, slim_join_min_rows=slim_min)
+                       use_bloom=True, slim_join_min_rows=slim_min,
+                       fpp_checkpoint_tested=fpp_ckpt)
         st.add(_urls(spark, seen_rows))
         out = st.novel(_urls(spark, cand_rows))
         assert out.columns == ["url_hash", "surt", "url_canon"]
@@ -119,10 +120,13 @@ def test_slim_and_branchy_novel_shapes_agree(spark):
 
     branchy = run(10**9)  # threshold never reached -> branchy shape
     slim = run(0)         # always slim shape
+    # slim + checkpointed tested frame (one bloom evaluation) — the
+    # kernel/scheduler fpp_checkpoint_tested knob must not change rows
+    slim_ckpt = run(0, fpp_ckpt=True)
     expect = sorted(
         (h, f"surt{h}") for h in cand_rows if h not in set(seen_rows)
     )
-    assert branchy == slim == expect
+    assert branchy == slim == slim_ckpt == expect
 
 
 def test_jvm_bloom_membership_exact(spark):

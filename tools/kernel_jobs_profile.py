@@ -60,7 +60,7 @@ def main() -> None:
         spark, num_partitions=cpus, expected_total=n_urls, use_bloom=True,
         broadcast_bloom=True, broadcast_max_delta=n_urls,
         fpp_checkpoint_tested=os.environ.get(
-            "SPARK_GRAFT_KERNEL_FPP_CKPT", "0"
+            "SPARK_GRAFT_KERNEL_FPP_CKPT", "1"  # default matches bench.py
         ) == "1",
     )
     pre = spark.range(0, n_urls, 2, numPartitions=cpus).select(
@@ -84,7 +84,9 @@ def main() -> None:
             in_urls.select(canonicalize_url(F.col("raw_url")).alias("url_canon"))
             .filter(F.col("url_canon").isNotNull())
             .localCheckpoint(
-                eager=os.environ.get("SPARK_GRAFT_KERNEL_LAZY_CANON", "0") != "1"
+                # default LAZY, matching bench.py run_kernel — the profile
+                # must attribute the shape the ladder actually measures
+                eager=os.environ.get("SPARK_GRAFT_KERNEL_LAZY_CANON", "1") == "0"
             )
         )
         d = parts_from_canon(F.col("url_canon"))
@@ -99,18 +101,48 @@ def main() -> None:
         scheduled = politeness_topk(novel, pol, default_budget=16, n_salts=8)
         return scheduled.count()
 
+    # pass-local checkpoint hygiene between repeated passes (same as
+    # bench.py run_kernel — without it the per-pass cached RDDs accumulate)
+    jsc = spark.sparkContext._jsc
+    keep_ids = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def free_pass_rdds():
+        cur = jsc.getPersistentRDDs()
+        for rid in cur.keySet().toArray():
+            if int(rid) not in keep_ids:
+                cur.get(rid).unpersist(False)
+
     # warmup on a slice (JIT + shuffle paths), same as bench.py
     run_pass(spark.range(2_000_000, numPartitions=cpus).select(raw.alias("raw_url")))
-    jobs_before = {j["jobId"] for j in rest(spark, "/jobs")}
+    free_pass_rdds()
 
-    t0 = time.monotonic()
-    n = run_pass(urls)
-    wall = time.monotonic() - t0
+    # The ladder's per-pass times keep dropping for 2-3 FULL-size passes
+    # (C2 JIT of the 16M-row codegen classes, shuffle/broadcast path
+    # warm-up), so a single profiled pass attributes the COLD shape, not
+    # the steady state the ladder's best-of reports. Run k passes and
+    # attribute the fastest one.
+    passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PROFILE_PASSES", "3"))
+    runs = []
+    n = 0
+    for _ in range(max(passes, 1)):
+        jobs_before = {j["jobId"] for j in rest(spark, "/jobs")}
+        t0 = time.monotonic()
+        n = run_pass(urls)
+        wall = time.monotonic() - t0
+        free_pass_rdds()
+        runs.append((wall, jobs_before))
 
-    jobs = [j for j in rest(spark, "/jobs") if j["jobId"] not in jobs_before]
+    wall, jobs_before = min(runs, key=lambda r: r[0])
+    jobs_after = runs[runs.index((wall, jobs_before)) + 1][1] if (
+        runs.index((wall, jobs_before)) + 1 < len(runs)
+    ) else None
+
+    jobs = [j for j in rest(spark, "/jobs") if j["jobId"] not in jobs_before
+            and (jobs_after is None or j["jobId"] in jobs_after)]
     jobs.sort(key=lambda j: j["jobId"])
     out = {"n_urls": n_urls, "cpus": cpus, "scheduled": n,
            "wall_sec": round(wall, 2),
+           "pass_times_sec": [round(w, 2) for w, _ in runs],
            "master": spark.sparkContext.master, "jobs": []}
     fmt = "%Y-%m-%dT%H:%M:%S.%f"
 
