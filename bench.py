@@ -380,7 +380,7 @@ def run_kernel(spark, n_urls: int) -> dict:
     }
 
 
-def run_control(spark, n_rows: int) -> dict:
+def run_control(spark, n_rows: int, passes: int | None = None) -> dict:
     """Compute-bound control: chained xxhash64 over longs — zero string
     allocation, embarrassingly parallel. Its N->4N scaling isolates what
     the BOX can deliver (cores minus co-tenant steal); the kernel's
@@ -391,7 +391,8 @@ def run_control(spark, n_rows: int) -> dict:
     c = F.col("id")
     for _ in range(200):
         c = F.xxhash64(c)
-    passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "1"))
+    if passes is None:
+        passes = int(os.environ.get("SPARK_GRAFT_KERNEL_PASSES", "1"))
     times = []
     for _ in range(max(passes, 1)):
         t0 = time.monotonic()
@@ -492,8 +493,16 @@ def main():
         # control in the SAME artifact every round re-litigates "box or
         # code". The compute-bound control measures what the box delivers
         # right now; the normalized headline divides that drift out.
+        # passes=3 best-of: the single-pass control read 1.5-2.8x its own
+        # steady state (first pass pays JIT/codegen warmup — the executor
+        # ladder's control logs show pass1 ~2x pass2), which made the
+        # normalized headline junk whenever the session started cold or
+        # under a transient. The REF pin and every session must measure
+        # the same thing: warm best-of.
         out["control_before_queries"] = run_control(
-            spark, int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS", "20000000"))
+            spark,
+            int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS", "20000000")),
+            passes=3,
         )
         qs = {**queries(), **bench_queries()}
         for name in HEADLINE:

@@ -95,7 +95,16 @@ class CrawlConfig:
     # materialization of the round's candidates (bounded by per-round
     # candidate volume, never |seen|, so the cache stays round-sized at
     # any crawl scale). Measured on the 16M-URL kernel at 4x4-core
-    # executors: -24% pass time (39.4 -> 29.9 s best-of-3).
+    # executors: -24% pass time (39.4 -> 29.9 s best-of-3). On the FULL
+    # crawl the same knob measured +13% SLOWER (interleaved same-session
+    # A/B, BENCH/ab_fpp_frontier_r7.json) — here the candidate lineage
+    # restarts from the dedup shuffle's materialized map outputs (the
+    # expensive parse sits BEFORE that exchange), so re-evaluating
+    # `tested` re-reads shuffle files + re-runs the bloom probe, which
+    # is cheaper than writing a full-width checkpoint of every
+    # candidate. An upstream shuffle is already a materialization
+    # boundary; only exchange-free lineages (the kernel's) benefit from
+    # an explicit one. Hence default False for the scheduler.
     fpp_checkpoint_tested: bool = False
     # Opt-in per-STAGE attribution inside the fetch/gate phase (VERDICT r6
     # next #5: mid10x fetch_gate grew 43 -> 71 -> 86 s/round; is the
