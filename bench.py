@@ -131,6 +131,11 @@ def run_frontier(spark) -> dict:
                 fpp_checkpoint_tested=os.environ.get(
                     "SPARK_GRAFT_FRONTIER_FPP_CKPT", "0"
                 ) == "1",
+                # materialize the deduped winners before novel() (A/B:
+                # BENCH/ab_ckpt_disc_r7.json)
+                ckpt_discovered=os.environ.get(
+                    "SPARK_GRAFT_FRONTIER_CKPT_DISC", "1"
+                ) == "1",
                 # per-stage fetch/gate attribution (extract+dedup vs
                 # bloom+rescue vs robots gate) — profiling runs only
                 profile_stages=os.environ.get(

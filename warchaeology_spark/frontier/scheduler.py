@@ -106,6 +106,20 @@ class CrawlConfig:
     # boundary; only exchange-free lineages (the kernel's) benefit from
     # an explicit one. Hence default False for the scheduler.
     fpp_checkpoint_tested: bool = False
+    # Materialize the round's deduped winners (`discovered`: surt,
+    # url_canon, url_hash, host, depth, src_doc_id — winner-sized and
+    # narrow) BEFORE the novel filter. novel()'s fpp-rescue shape reads
+    # its input twice (slim survivors anti-join + full-width probe);
+    # without a boundary here each consumer restarts from the dedup
+    # exchange's map outputs and re-runs the winner re-aggregation and
+    # the bloom UDF. Unlike fpp_checkpoint_tested (full-width, post-UDF,
+    # measured slower on the crawl), this boundary sits pre-UDF at the
+    # narrowest shared point of the lineage, so it replaces the repeated
+    # post-shuffle work with one winner-sized write. First observed as a
+    # side effect of profile_stages (the profiled mid10x pass, doing
+    # strictly MORE work, beat the unprofiled one 155 vs 213 s); default
+    # set by the interleaved A/B in BENCH/ab_ckpt_disc_r7.json.
+    ckpt_discovered: bool = True
     # Opt-in per-STAGE attribution inside the fetch/gate phase (VERDICT r6
     # next #5: mid10x fetch_gate grew 43 -> 71 -> 86 s/round; is the
     # growth candidate volume or |seen|-superlinear?). When True, the
@@ -432,10 +446,11 @@ def run_crawl(
             F.col("w.src_doc_id").alias("src_doc_id"),
         )
 
-        if config.profile_stages:
+        if config.profile_stages or config.ckpt_discovered:
             t0 = _time.monotonic()
             discovered = discovered.localCheckpoint(eager=True)
             tr["extract_dedup_sec"] = round(_time.monotonic() - t0, 3)
+        if config.profile_stages:
             tr["discovered_rows"] = discovered.count()  # cached, one cheap job
             t0 = _time.monotonic()
             novel = seen_state.novel(discovered).localCheckpoint(eager=True)
