@@ -98,6 +98,20 @@ def test_fpp_checkpoint_tested_equivalence(spark, fixture_dir, oracle_result):
     assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
 
 
+def test_ckpt_discovered_off_equivalence(spark, fixture_dir, oracle_result):
+    # ckpt_discovered defaults True (the -25% materialization fix,
+    # BENCH/ab_ckpt_disc_r7.json) so the default path is exercised by
+    # every other test here; this pins the NON-default lazy path — the
+    # checkpoint must be semantically transparent in both directions.
+    docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
+    res = run_crawl(
+        spark, docs, seeds, robots, pol,
+        CrawlConfig(max_rounds=5, use_bloom=True, num_partitions=4,
+                    expected_total=20_000, ckpt_discovered=False),
+    )
+    assert _fetch_tuples(res.fetch_log) == _oracle_tuples(oracle_result)
+
+
 def test_bloom_sharded_equivalence(spark, fixture_dir, oracle_result):
     # cogroup-sharded bloom path (broadcast off) must match too
     docs, seeds, robots, pol = _load_inputs(spark, fixture_dir)
