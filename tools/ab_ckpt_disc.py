@@ -122,7 +122,10 @@ def main() -> None:
             legs.append(rec)
             print(json.dumps(rec), flush=True)
     key = f"{tier}_{n_exec}x{cores_per}"
-    result[key] = summarize(legs)
+    # re-runs of the same shape MERGE with the recorded legs (pairs
+    # accumulate across sessions instead of silently replacing)
+    prior = result.get(key, {}).get("legs", [])
+    result[key] = summarize(prior + legs)
     result["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
     with open(OUT, "w") as f:
         json.dump(result, f, indent=2)
