@@ -605,3 +605,68 @@ def test_minhash_persisted_index_matches_inline_cross_pairs(spark, tmp_path):
     assert served == inline
     assert any(nid == "n1" for nid, _ in served)  # near-dup is found
     assert not any(nid == "n2" for nid, _ in served)  # distinct text is not
+
+
+def test_embedding_neardup_paths_bit_identical(spark, monkeypatch):
+    """r8 optimization pin: the vectorized per-block GEMM path, the flat
+    codegen-expression path and the original HOF-cosine path of
+    embedding_neardup_pairs produce IDENTICAL rows (same cos_sim doubles
+    after round) — the per-dimension accumulation preserves the JVM
+    fold's association exactly."""
+    from warchaeology_spark import queries as Q
+
+    sf = SF
+    monkeypatch.setenv("SPARK_GRAFT_EMB_PAIRS", "gemm")
+    gemm = {tuple(r) for r in Q.embedding_neardup_pairs(spark, sf).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_EMB_PAIRS", "flat")
+    flat = {tuple(r) for r in Q.embedding_neardup_pairs(spark, sf).collect()}
+    assert gemm == flat
+    assert len(gemm) > 0
+    # HOF reference (the pre-r8 implementation, kept in similarity.cosine)
+    from warchaeology_spark.operators.similarity import cosine
+    from warchaeology_spark.queries import T
+
+    emb = T(spark, sf, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    ref = {
+        tuple(r)
+        for r in (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .withColumn(
+                "cos_sim",
+                F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4),
+            )
+            .filter(F.col("cos_sim") >= 0.2)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                "cos_sim",
+            )
+            .collect()
+        )
+    }
+    assert gemm == ref
+
+
+def test_block_neardup_candidates_margin_keeps_boundary(spark):
+    """The GEMM stage's margin prefilter must never drop a pair whose
+    ROUNDED cosine reaches the threshold: a pair at cos_raw just under
+    the threshold (0.19995 rounds HALF_UP to 0.2) must survive."""
+    import math
+
+    from warchaeology_spark.operators.similarity import block_neardup_candidates
+
+    # two unit-ish vectors with cosine exactly ~0.1999+ (inside margin)
+    c = 0.19996
+    v0 = [1.0, 0.0]
+    v1 = [c, math.sqrt(1 - c * c)]
+    df = spark.createDataFrame(
+        [(0, 0, v0), (1, 0, v1)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = block_neardup_candidates(df, 0.2).collect()
+    assert len(out) == 1  # kept by the margin, even though raw < 0.2

@@ -41,6 +41,133 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- fixed-dimension codegen variants (optimization round 8) -------------
+#
+# The lambda higher-order functions above (zip_with/aggregate/transform)
+# are CodegenFallback: every containing projection is evaluated
+# INTERPRETED, which is what made the pair-wise cosine queries quadratic-
+# slow (guide §4.1 — prefer built-ins that codegen). When the embedding
+# dimension is known (one cheap first-row probe), the same arithmetic can
+# be spelled as a flat expression tree over GetArrayItem, which
+# whole-stage-codegen compiles to straight-line Java.
+#
+# Bit-for-bit equivalence with dot()/norm(): aggregate's left fold
+# computes ((0.0 + x0) + x1) + ... ; the flat tree below builds the
+# identical association starting from lit(0.0), and each term is the same
+# cast-then-multiply expression zip_with/transform produced, so every
+# intermediate double is identical (pinned by tests).
+
+
+def first_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Probe the (fixed) array length from the first row; None if empty."""
+    row = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    return int(row["_d"]) if row is not None else None
+
+
+def dot_flat(a: Column, b: Column, dim: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
+
+
+def norm_flat(a: Column, dim: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        x = a.getItem(i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def cosine_flat(a: Column, b: Column, dim: int) -> Column:
+    return dot_flat(a, b, dim) / (norm_flat(a, dim) * norm_flat(b, dim))
+
+
+def block_neardup_candidates(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """All-pairs raw cosine within each block, vectorized (guide §4.2).
+
+    Returns (id_a, id_b, cos_raw) for every within-block pair with
+    id_a < id_b and cos_raw >= threshold - 1e-3 (margin so the caller's
+    JVM-side ``round(cos_raw, 4) >= threshold`` filter — BigDecimal
+    HALF_UP, the rounding authority — makes the final cut; no pair that
+    could round up to the threshold is dropped here).
+
+    Bit-for-bit equivalence with the JVM fold (dot()/dot_flat, norm()):
+    the dot and squared-norm accumulators advance one DIMENSION at a time
+    (``acc += col_d_outer``), vectorized across pairs — so each pair's
+    sum is the identical left-association ((0.0 + x0*y0) + x1*y1) + ...
+    over identical float32→double-exact products, and the division by
+    (norm_a * norm_b) uses the same operand order. Every IEEE operation
+    matches the JVM expression, so cos_raw is the same double (pinned by
+    tests/test_similarity equivalence tests).
+
+    Scale shape: one shuffle on block_col; per-block work is the
+    inherently-quadratic pair set evaluated as 64 vectorized rank-1
+    updates (BLAS-speed) instead of per-pair interpreted folds. Blocks
+    are the caller's blocking scheme (labels here, LSH buckets at scale),
+    so no single task ever sees more than one block.
+    """
+    import numpy as np  # noqa: F401  (imported in the worker too)
+    import pandas as pd
+
+    margin = threshold - 1e-3
+    out_schema = f"id_a long, id_b long, cos_raw double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        d = V.shape[1]
+        nsq = np.zeros(n, dtype=np.float64)
+        for k in range(d):
+            col = V[:, k]
+            nsq += col * col
+        nrm = np.sqrt(nsq)
+        # row-tiled so the pair matrix never exceeds ~256 MB even for
+        # very large blocks (guide §5: bound per-task state)
+        tile = max(1, min(n, 32_000_000 // n))
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, tile):
+            i1 = min(i0 + tile, n)
+            T = np.zeros((i1 - i0, n), dtype=np.float64)
+            for k in range(d):
+                # one dimension per step, vectorized across all pairs:
+                # the accumulation order per pair is the JVM fold's order
+                T += np.multiply.outer(V[i0:i1, k], V[:, k])
+            cosT = T / np.multiply.outer(nrm[i0:i1], nrm)
+            ii, jj = np.nonzero(cosT >= margin)
+            keep = jj > (ii + i0)  # id_a < id_b (rows sorted by id)
+            out_a.append(ids[ii[keep] + i0])
+            out_b.append(ids[jj[keep]])
+            out_c.append(cosT[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype("int64"),
+                "id_b": np.concatenate(out_b).astype("int64"),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        vectors.select(F.col(id_col), F.col(block_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(per_block, out_schema)
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -58,11 +185,33 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = vectors.join(F.broadcast(q)).select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos_sim"),
-    )
+    dim = first_dim(vectors, vec_col)
+    if dim is None:
+        scored = vectors.join(F.broadcast(q)).select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    else:
+        # codegen path: per-row norms once (identical math to the per-pair
+        # norm — same expression over the same data), flat dot per pair;
+        # round-robin repartition spreads the single-file parquet scan so
+        # the broadcast join parallelizes (guide §2.4/§4.1)
+        par = vectors.sparkSession.sparkContext.defaultParallelism
+        v = vectors.select(
+            F.col(id_col), F.col(vec_col),
+            norm_flat(F.col(vec_col), dim).alias("_vn"),
+        ).repartition(par)
+        qn = q.withColumn("_qn", norm_flat(F.col("_qvec"), dim))
+        scored = v.join(F.broadcast(qn)).select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot_flat(F.col("_qvec"), F.col(vec_col), dim)
+                / (F.col("_qn") * F.col("_vn")),
+                4,
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )

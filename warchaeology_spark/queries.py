@@ -1161,17 +1161,74 @@ def embedding_neardup_pairs(spark, sf):
     # label-blocked exact variant (oracle-checkable); the LSH-blocked
     # approximate variant is ann_lsh_topk below (driver-checked via
     # ann_recall_floor)
+    #
+    # r8 optimization (guide §3.1/§4.1): the pair set is quadratic within
+    # each of the ~10 labels, so the per-pair cosine dominates — the old
+    # interpreted-HOF cosine (3 lambda folds over the full vector per
+    # pair) cost 821 s at sf1.0. Now: per-row norms computed once before
+    # the join, flat codegen dot per pair (bit-identical fold order, see
+    # similarity.dot_flat), and a broadcast hash join on label with the
+    # streamed side round-robin repartitioned so the quadratic compute
+    # spreads over every core instead of 10 join keys.
+    import os as _os
+
+    from warchaeology_spark.operators.similarity import (
+        block_neardup_candidates,
+        dot_flat,
+        first_dim,
+        norm_flat,
+    )
+
     emb = T(spark, sf, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    if _os.environ.get("SPARK_GRAFT_EMB_PAIRS", "gemm") == "gemm":
+        # vectorized per-label all-pairs (bit-identical fold order — see
+        # block_neardup_candidates); JVM keeps the round+threshold
+        cand = block_neardup_candidates(emb, 0.2)
+        return (
+            cand.withColumn("cos_sim", F.round(F.col("cos_raw"), 4))
+            .filter(F.col("cos_sim") >= 0.2)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    dim = first_dim(emb, "embedding")
+    if dim is None:
+        a0, b0 = emb.alias("a"), emb.alias("b")
+        return (
+            a0.join(
+                b0,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .withColumn(
+                "cos_sim",
+                F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4),
+            )
+            .filter(F.col("cos_sim") >= 0.2)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                "cos_sim",
+            )
+        )
+    par = spark.sparkContext.defaultParallelism * 4
+    withn = emb.select(
+        "vec_id", "label", "embedding",
+        norm_flat(F.col("embedding"), dim).alias("_nrm"),
+    )
+    a = withn.repartition(par).alias("a")
+    b = withn.alias("b")
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            "cos_sim",
+            F.round(
+                dot_flat(F.col("a.embedding"), F.col("b.embedding"), dim)
+                / (F.col("a._nrm") * F.col("b._nrm")),
+                4,
+            ),
         )
         .filter(F.col("cos_sim") >= 0.2)
         .select(
