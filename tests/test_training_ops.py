@@ -670,3 +670,44 @@ def test_block_neardup_candidates_margin_keeps_boundary(spark):
     )
     out = block_neardup_candidates(df, 0.2).collect()
     assert len(out) == 1  # kept by the margin, even though raw < 0.2
+
+
+def test_shingle_rows_matches_word_shingles_multiset(docs, spark):
+    """r8 pin: the codegen shingle_rows (slice+arrays_zip+explode) emits
+    exactly the multiset explode(word_shingles(words_of(text), 2)) did."""
+    from warchaeology_spark.operators.textdedup import (
+        shingle_rows,
+        word_shingles,
+        words_of,
+    )
+
+    new = shingle_rows(docs, "doc_id", "text").groupBy("doc_id", "shingle").count()
+    old = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(word_shingles(words_of(F.col("text")), 2)).alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .count()
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
+
+
+def test_ngram_dense_kernel_matches_prefix_path(docs, spark):
+    """r8 pin: the dense-vocab BLAS kernel and the AllPairs/PPJoin prefix
+    path produce identical (id_a, id_b, jaccard) rows."""
+    from warchaeology_spark.operators.textdedup import (
+        ngram_doc_index,
+        ngram_jaccard_dense,
+        ngram_jaccard_neardups,
+    )
+
+    grouped, nv = ngram_doc_index(docs)
+    dense = ngram_jaccard_dense(grouped, nv, threshold=0.6)
+    prefix = ngram_jaccard_neardups(docs, threshold=0.6)
+    d = {tuple(r) for r in dense.collect()}
+    p = {tuple(r) for r in prefix.collect()}
+    assert d == p
+    assert len(d) > 0

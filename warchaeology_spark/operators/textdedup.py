@@ -68,6 +68,36 @@ def word_shingles(words: Column, n: int = 2) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per word-bigram shingle INSTANCE — the exploded, codegen-only
+    equivalent of ``explode(word_shingles(words_of(text), 2))``.
+
+    r8 optimization (guide §4.1): word_shingles is a lambda higher-order
+    function (transform over sequence), which is CodegenFallback — the
+    whole projection evaluates interpreted, and at sf1.0 that alone cost
+    ~60 s per consumer. slice + arrays_zip + explode + concat_ws are all
+    ordinary codegen expressions producing the same row multiset (measured
+    sym-diff 0 on the sf1.0 corpus; pinned by tests). Docs with < 2 words
+    produce no rows, exactly like the old ``filter(size(sh) > 0)`` gate.
+    """
+    w = words_of(F.col(text_col))
+    s1 = F.slice(w, 1, F.size(w) - 1).alias("s1")
+    s2 = F.slice(w, 2, F.size(w) - 1).alias("s2")
+    z = F.when(F.size(w) >= 2, F.arrays_zip(s1, s2))
+    return docs.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], F.explode(z).alias("_z")
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.concat_ws(" ", F.col("_z.s1"), F.col("_z.s2")).alias("shingle"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup — the J1 plan on documents
 # ---------------------------------------------------------------------------
@@ -111,39 +141,33 @@ def minhash_signatures(
     ``xxhash64`` evaluations per shingle — no hex round-trip, ~2-3x cheaper;
     different hash family, so signatures are NOT comparable across modes.
     """
-    w = words_of(F.col(text_col))
-    sh = word_shingles(w, 2)
-    out = docs.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
-    # portable: one md5 per shingle, k windows of it (phash_window) —
-    # computed once into an array column, then k array_min's over element i
+    # r8 restructure (guide §4.1/§2.3): the old path built the shingle
+    # array and the k hash windows with lambda HOFs (CodegenFallback →
+    # the whole projection interpreted; 75 s at sf1.0). Now: explode the
+    # shingles to rows (shingle_rows, codegen-only), hash each instance
+    # with codegen md5/conv (or xxhash64), and take the per-doc min of
+    # each window with a partial-aggregating groupBy — the shuffle moves
+    # only ~|docs| pre-aggregated rows (map-side min), and the same min
+    # over the same hash multiset gives identical signatures (sym-diff 0
+    # at sf1.0; oracle-pinned). 1.6 s at sf1.0. The signature table stays
+    # the pipeline's materialization point (localCheckpoint), so the LSH
+    # band self-join's two branches share one evaluation.
     assert k <= 9, "k windows of one md5 cap at 9; chain a second md5 beyond"
-
-    def windows_of(s: Column) -> Column:
-        if not portable:
-            return F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)])
-        m = F.md5(s)
-        return F.array(
-            *[F.conv(F.substring(m, 1 + 2 * i, 15), 16, 10).cast("long") for i in range(k)]
-        )
-
-    # materialize (id, _hw) ONCE: the transform/shingle pipeline is a
-    # higher-order-function tree (interpreted), and every sig_i column
-    # would otherwise re-evaluate it per row (Catalyst inlines column
-    # expressions into each consumer). The signatures table is a real
-    # materialization point in production pipelines anyway.
-    out = out.withColumn("_hw", F.transform(F.col("sh"), windows_of)).select(
-        F.col(id_col), F.col("_hw")
-    ).localCheckpoint(eager=True)
-
-    def min_at(i: int):
-        # factory, not default-arg lambda (pyspark infers arity by signature)
-        return lambda w: F.element_at(w, i + 1)
-
-    for i in range(k):
-        out = out.withColumn(
-            f"sig_{i}", F.array_min(F.transform(F.col("_hw"), min_at(i)))
-        )
-    return out.drop("_hw")
+    rows = shingle_rows(docs, id_col, text_col)
+    if portable:
+        m = F.md5(F.col("shingle"))
+        ws = [
+            F.conv(F.substring(m, 1 + 2 * i, 15), 16, 10).cast("long").alias(f"_w{i}")
+            for i in range(k)
+        ]
+    else:
+        ws = [F.xxhash64(F.lit(i), F.col("shingle")).alias(f"_w{i}") for i in range(k)]
+    out = (
+        rows.select(F.col(id_col), *ws)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_w{i}").alias(f"sig_{i}") for i in range(k)])
+    )
+    return out.localCheckpoint(eager=True)
 
 
 def minhash_lsh_pairs(
@@ -388,6 +412,172 @@ def ngram_jaccard_neardups(
                 4,
             ),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_doc_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> tuple[DataFrame, int]:
+    """(per-doc token-index table, vocab size) for the dense-vocab exact
+    Jaccard kernel (ngram_jaccard_dense).
+
+    Maps each distinct word-bigram shingle to a dense integer index
+    (row_number over the sorted vocabulary — any consistent indexing
+    works, the indices only define vector positions) and aggregates each
+    doc's distinct shingle set to an int array. All codegen + two
+    shuffles (distinct, groupBy); the returned vocab size is the caller's
+    guard for whether the dense kernel applies.
+    """
+    # materialize the (cheap, codegen) shingle-instance rows ONCE: both
+    # the vocab pass and the per-doc aggregation read the cache instead
+    # of re-deriving the tokenize+shingle pipeline (guide §5: reuse only
+    # when recompute costs more — it does: two full passes otherwise)
+    rows = shingle_rows(docs, id_col, text_col, extra_cols=block_cols).localCheckpoint(
+        eager=True
+    )
+    vocab = rows.select("shingle").distinct()
+    n_vocab = vocab.count()
+    from pyspark.sql import Window as _W
+
+    vidx = vocab.withColumn(
+        "_idx", (F.row_number().over(_W.orderBy("shingle")) - 1).cast("int")
+    )
+    # collect_set both dedups per-doc shingle instances and aggregates in
+    # one shuffle (vs dropDuplicates + collect_list = two)
+    grouped = (
+        rows.join(F.broadcast(vidx), "shingle")
+        .groupBy(F.col(id_col), *[F.col(c) for c in block_cols])
+        .agg(F.collect_set("_idx").alias("_idxs"))
+    )
+    return grouped, n_vocab
+
+
+def ngram_jaccard_dense(
+    grouped: DataFrame,
+    n_vocab: int,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold within ``block_cols`` for
+    DENSE vocabularies — the r8 kernel behind the ngram registry entries.
+
+    Why: on corpora whose shingle vocabulary is small (the bench corpus:
+    931 distinct bigrams, mean document frequency ~2800), prefix
+    filtering degenerates — at sf1.0 it emitted 112M candidate pairs and
+    the per-pair JVM set math cost 147 s. Here each doc's distinct
+    shingle set becomes a 0/1 float32 vector of dimension |vocab|, and a
+    BLAS matmul of doc-block tiles yields EXACT integer intersection
+    counts (counts <= |vocab| << 2^24, so float32 arithmetic is exact);
+    union = |A| + |B| - I. The engine emits integer (i, u) per surviving
+    pair (margin 1e-3 below threshold) and the CALLER does the
+    ``round(i/u, 4) >= t`` cut in the JVM — same integers, same double
+    division, same BigDecimal HALF_UP as the array-math path, so the
+    output is bit-identical (no hashing, no float accumulation anywhere).
+
+    Parallelism: docs are hashed into ``n_blocks`` blocks per
+    block-cols group; every unordered block pair (t1 <= t2) is one
+    applyInPandas task, so the quadratic work spreads over
+    n_blocks*(n_blocks+1)/2 tasks per group and no task holds more than
+    two blocks' vectors (guide §2.5/§4.2). The general (large-vocab)
+    path remains ngram_jaccard_neardups' AllPairs/PPJoin prefix join.
+    """
+    import pandas as pd
+
+    margin = threshold - 1e-3
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tasks = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_b"), F.lit(j)).alias("t1"),
+                    F.greatest(F.col("_b"), F.lit(j)).alias("t2"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+    )
+    exploded = (
+        grouped.withColumn("_b", b)
+        .withColumn("_t", F.explode(tasks))
+        .select(
+            F.col(id_col), *[F.col(c) for c in block_cols], "_idxs", "_b",
+            F.col("_t.t1").alias("_t1"), F.col("_t.t2").alias("_t2"),
+        )
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "i": pd.Series(dtype="int64"), "u": pd.Series(dtype="int64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        t1 = int(pdf["_t1"].iloc[0])
+        t2 = int(pdf["_t2"].iloc[0])
+
+        def build(sub: pd.DataFrame):
+            ids = sub[id_col].to_numpy()
+            n = len(sub)
+            V = np.zeros((n, n_vocab), dtype=np.float32)
+            sizes = np.empty(n, dtype=np.int64)
+            for r, idxs in enumerate(sub["_idxs"]):
+                ix = np.asarray(idxs, dtype=np.int64)
+                V[r, ix] = 1.0
+                sizes[r] = len(ix)
+            return ids, V, sizes
+
+        if t1 == t2:
+            ids, V, sz = build(pdf)
+            ids_b, VB, sz_b = ids, V, sz
+        else:
+            a_side = pdf[pdf["_b"] == t1]
+            b_side = pdf[pdf["_b"] == t2]
+            if len(a_side) == 0 or len(b_side) == 0:
+                return empty
+            ids, V, sz = build(a_side)
+            ids_b, VB, sz_b = build(b_side)
+        out_a, out_b, out_i, out_u = [], [], [], []
+        nB = len(ids_b)
+        tile = max(1, 16_000_000 // max(nB, 1))
+        for r0 in range(0, len(ids), tile):
+            r1 = min(r0 + tile, len(ids))
+            inter = V[r0:r1] @ VB.T  # exact integer counts in float32
+            uni = (sz[r0:r1, None] + sz_b[None, :]).astype(np.float64) - inter
+            keep = (inter.astype(np.float64) / uni) >= margin
+            if t1 == t2:
+                keep &= ids[r0:r1, None] < ids_b[None, :]
+            ii, jj = np.nonzero(keep)
+            ia, ib = ids[ii + r0], ids_b[jj]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_i.append(inter[ii, jj].astype(np.int64))
+            out_u.append(uni[ii, jj].astype(np.int64))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "i": np.concatenate(out_i),
+                "u": np.concatenate(out_u),
+            }
+        )
+
+    pairs = exploded.groupBy(*block_cols, "_t1", "_t2").applyInPandas(
+        kernel, "id_a long, id_b long, i long, u long"
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(F.col("i") / F.col("u"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

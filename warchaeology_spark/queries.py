@@ -783,6 +783,46 @@ def _shared_ngram_shingles(spark: SparkSession, sf: str) -> DataFrame:
     return df
 
 
+def _shared_ngram_dense(spark: SparkSession, sf: str):
+    """Shared per-doc token-index stage for the r8 dense-vocab exact
+    Jaccard kernel (textdedup.ngram_jaccard_dense) — the analogue of
+    _shared_ngram_shingles for the dense path: both ngram entries reuse
+    the checkpointed doc-index table; each still runs its own kernel
+    pass."""
+    from warchaeology_spark.operators.textdedup import ngram_doc_index
+
+    _evict_dead_app_entries(spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf, "ngram_dense")
+    entry = _PAIR_STAGE_CACHE.get(key)
+    if entry is None:
+        grouped, n_vocab = ngram_doc_index(T(spark, sf, "documents"))
+        entry = (grouped.localCheckpoint(eager=True), n_vocab)
+        _PAIR_STAGE_CACHE[key] = entry
+    return entry
+
+
+def _ngram_pairs_engine(spark: SparkSession, sf: str, portable: bool) -> DataFrame:
+    """Engine dispatch for the ngram registry entries: the corpus's
+    shingle vocabulary is probed once (cheap distinct count); when it is
+    dense (below SPARK_GRAFT_NGRAM_DENSE_MAX_VOCAB, default 16384 — the
+    regime where prefix filtering degenerates to ~quadratic candidates)
+    the exact BLAS kernel runs; otherwise the general AllPairs/PPJoin
+    prefix-filter join. Both produce the identical declared result."""
+    import os as _os
+
+    from warchaeology_spark.operators.textdedup import ngram_jaccard_dense
+
+    max_vocab = int(_os.environ.get("SPARK_GRAFT_NGRAM_DENSE_MAX_VOCAB", "16384"))
+    if max_vocab > 0:
+        grouped, n_vocab = _shared_ngram_dense(spark, sf)
+        if n_vocab <= max_vocab:
+            return ngram_jaccard_dense(grouped, n_vocab, threshold=0.6)
+    return ngram_jaccard_neardups(
+        T(spark, sf, "documents"), threshold=0.6, portable=portable,
+        shingled=_shared_ngram_shingles(spark, sf),
+    )
+
+
 _MINHASH_SQL_SIGS = """
     WITH w AS (
       SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
@@ -995,13 +1035,11 @@ def simhash_signatures_q(spark, sf):
     """,
 )
 def ngram_jaccard_pairs_q(spark, sf):
-    # engine: exact prefix-filtering set-similarity join (AllPairs/PPJoin);
-    # the oracle is the BLOCKING-FREE quadratic definition — the match
-    # proves the engine's candidate generation has recall 1.0.
-    return ngram_jaccard_neardups(
-        T(spark, sf, "documents"), threshold=0.6,
-        shingled=_shared_ngram_shingles(spark, sf),
-    )
+    # engine: exact set-similarity join — dense-vocab BLAS kernel when the
+    # vocabulary is small, AllPairs/PPJoin prefix filtering otherwise
+    # (_ngram_pairs_engine); the oracle is the BLOCKING-FREE quadratic
+    # definition — the match proves recall 1.0 either way.
+    return _ngram_pairs_engine(spark, sf, portable=True)
 
 
 @q(
@@ -1026,14 +1064,12 @@ def ngram_jaccard_pairs_q(spark, sf):
     """,
 )
 def ngram_jaccard_pairs_fast_q(spark, sf):
-    # engine fast path: shingles xxhash64-compressed to int64 before the
-    # set math. Jaccard over the hashed sets equals Jaccard over the string
-    # sets (modulo 2^-64 collisions), so the SAME string-shingle oracle
-    # verifies it — the value-hash match is the collision-freeness check.
-    return ngram_jaccard_neardups(
-        T(spark, sf, "documents"), threshold=0.6, portable=False,
-        shingled=_shared_ngram_shingles(spark, sf),
-    )
+    # engine fast path: on a dense vocabulary the same exact BLAS kernel
+    # applies (it is already integer-exact — strictly stronger than the
+    # old xxhash64-compressed set math, which tolerated 2^-64 collisions);
+    # on large vocabularies this falls back to the hashed-long prefix
+    # path. Output identical to the string-shingle oracle either way.
+    return _ngram_pairs_engine(spark, sf, portable=False)
 
 
 def minhash_lsh_pairs_fast_q(spark, sf):
