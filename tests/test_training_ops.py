@@ -711,3 +711,20 @@ def test_ngram_dense_kernel_matches_prefix_path(docs, spark):
     p = {tuple(r) for r in prefix.collect()}
     assert d == p
     assert len(d) > 0
+
+
+def test_band_star_edges_same_components_as_pairs(docs, spark):
+    """r8 pin: CC over band-group star edges == CC over the full LSH pair
+    list (star graph is a spanning subgraph with the same closure)."""
+    from warchaeology_spark.operators.textdedup import (
+        band_star_edges,
+        dedup_clusters,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs)
+    a = {tuple(r) for r in dedup_clusters(band_star_edges(sigs)).collect()}
+    b = {tuple(r) for r in dedup_clusters(minhash_lsh_pairs(docs, sigs=sigs)).collect()}
+    assert a == b
+    assert len(a) > 0

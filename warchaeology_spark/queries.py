@@ -760,12 +760,28 @@ def _evict_dead_app_entries(app_id: str) -> None:
         del _PAIR_STAGE_CACHE[k]
 
 
+def _shared_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """One shared portable signature table (r8): minhash_signatures
+    already localCheckpoints its (tiny) output, so caching the frame
+    shares that materialization across the pair stage, the star-edge
+    clustering stage and any direct consumer."""
+    _evict_dead_app_entries(spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf, "minhash_sigs")
+    df = _PAIR_STAGE_CACHE.get(key)
+    if df is None:
+        df = minhash_signatures(T(spark, sf, "documents"))
+        _PAIR_STAGE_CACHE[key] = df
+    return df
+
+
 def _shared_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     _evict_dead_app_entries(spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf)
     df = _PAIR_STAGE_CACHE.get(key)
     if df is None:
-        df = minhash_lsh_pairs(T(spark, sf, "documents")).localCheckpoint(eager=True)
+        df = minhash_lsh_pairs(
+            T(spark, sf, "documents"), sigs=_shared_minhash_sigs(spark, sf)
+        ).localCheckpoint(eager=True)
         _PAIR_STAGE_CACHE[key] = df
     return df
 
@@ -947,8 +963,15 @@ def dedup_clusters_q(spark, sf):
     The transitive-closure step the reference's digest dedup gets for free
     (equal digests are cliques, cmd/dedup/dedup.go); for LSH's non-transitive
     similarity graph it needs min-label propagation (textdedup.dedup_clusters).
-    """
-    return dedup_clusters(_shared_minhash_pairs(spark, sf))
+
+    r8: the propagation runs on the band-group STAR edges (spanning
+    subgraph of the pair graph, same components — textdedup.
+    band_star_edges), so each CC round shuffles ~166k edges instead of
+    4.35M pairs at sf1.0; result identical (equivalence pinned by test +
+    oracle)."""
+    from warchaeology_spark.operators.textdedup import band_star_edges
+
+    return dedup_clusters(band_star_edges(_shared_minhash_sigs(spark, sf)))
 
 
 @q(
@@ -984,8 +1007,10 @@ def dedup_clusters_q(spark, sf):
 )
 def dedup_compact_corpus_q(spark, sf):
     """Full dedup pipeline: LSH pairs -> clusters -> keep one doc per cluster."""
+    from warchaeology_spark.operators.textdedup import band_star_edges
+
     docs = T(spark, sf, "documents")
-    clusters = dedup_clusters(_shared_minhash_pairs(spark, sf))
+    clusters = dedup_clusters(band_star_edges(_shared_minhash_sigs(spark, sf)))
     return dedup_keep_canonical(docs, clusters).select("doc_id", "lang", "n_chars")
 
 
