@@ -120,6 +120,25 @@ class CrawlConfig:
     # strictly MORE work, beat the unprofiled one 155 vs 213 s); default
     # set by the interleaved A/B in BENCH/ab_ckpt_disc_r7.json.
     ckpt_discovered: bool = True
+    # r8 (VERDICT r7 next #2 — cut per-round fixed cost F kernel-style):
+    # lazy localCheckpoints for the INTRA-round frames too (scheduled,
+    # discovered, gated). Each eager checkpoint is its own driver job +
+    # full barrier; with all three lazy, the round's first action — the
+    # merged stats collect — materializes the whole
+    # politeness→fetch→dedup→novel→gate lineage in ONE job, and every
+    # later consumer (seen add, pending union, fetch log, commit) reads
+    # the caches. Same lineage truncation, same sharing, same results;
+    # the per-round driver job count drops from ~4 to ~1 (+commit).
+    # Interleaved fresh-JVM A/B at the bench mid tier: see
+    # BENCH/ab_lazy_round_r8.json. profile_stages forces eager (per-stage
+    # wall-clock attribution needs real job boundaries). Env override:
+    # SPARK_GRAFT_FRONTIER_LAZY_ROUND=0 restores r7 behavior.
+    lazy_round_checkpoints: bool = field(
+        default_factory=lambda: __import__("os").environ.get(
+            "SPARK_GRAFT_FRONTIER_LAZY_ROUND", "1"
+        )
+        == "1"
+    )
     # Opt-in per-STAGE attribution inside the fetch/gate phase (VERDICT r6
     # next #5: mid10x fetch_gate grew 43 -> 71 -> 86 s/round; is the
     # growth candidate volume or |seen|-superlinear?). When True, the
@@ -389,13 +408,15 @@ def run_crawl(
     import time as _time
 
     eager_state = not config.lazy_state_checkpoints
+    # profile_stages needs real job boundaries for per-stage attribution
+    eager_round = config.profile_stages or not config.lazy_round_checkpoints
     r = start_round
     while r < config.max_rounds:
         tr: dict = {"round": r}
         t0 = _time.monotonic()
         scheduled = politeness_topk(
             pending, politeness, config.default_budget, config.n_salts
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=eager_round)
         tr["politeness_ckpt_sec"] = round(_time.monotonic() - t0, 3)
 
         fetch_log_r = scheduled.select(
@@ -448,7 +469,7 @@ def run_crawl(
 
         if config.profile_stages or config.ckpt_discovered:
             t0 = _time.monotonic()
-            discovered = discovered.localCheckpoint(eager=True)
+            discovered = discovered.localCheckpoint(eager=eager_round)
             tr["extract_dedup_sec"] = round(_time.monotonic() - t0, 3)
         if config.profile_stages:
             tr["discovered_rows"] = discovered.count()  # cached, one cheap job
@@ -459,7 +480,7 @@ def run_crawl(
         else:
             novel = seen_state.novel(discovered)
         t0 = _time.monotonic()
-        gated = gate(novel).localCheckpoint(eager=True)
+        gated = gate(novel).localCheckpoint(eager=eager_round)
         tr["fetch_gate_ckpt_sec"] = round(_time.monotonic() - t0, 3)
 
         # ONE merged driver action for everything the round must learn
