@@ -466,34 +466,23 @@ def ngram_doc_index(
     """(per-doc token-index table, vocab size) for the dense-vocab exact
     Jaccard kernel (ngram_jaccard_dense).
 
-    Maps each distinct word-bigram shingle to a dense integer index
-    (row_number over the sorted vocabulary — any consistent indexing
-    works, the indices only define vector positions) and aggregates each
-    doc's distinct shingle set to an int array. All codegen + two
-    shuffles (distinct, groupBy); the returned vocab size is the caller's
-    guard for whether the dense kernel applies.
+    Aggregates each doc's distinct shingle STRING set in one
+    partial-aggregating shuffle (collect_set) and materializes the
+    ~|docs|-row result; the vocabulary size (the caller's dense-kernel
+    guard) is counted from that cache. The kernel builds its own LOCAL
+    per-task string→index map (intersections are exact on strings, and
+    local dimensions are ≤ the global vocabulary), so no global index
+    join is needed — r8 slimming: the earlier version checkpointed 2.6M
+    shingle-instance rows and broadcast-joined a row_number vocabulary,
+    ~5 s of avoidable jobs at sf1.0.
     """
-    # materialize the (cheap, codegen) shingle-instance rows ONCE: both
-    # the vocab pass and the per-doc aggregation read the cache instead
-    # of re-deriving the tokenize+shingle pipeline (guide §5: reuse only
-    # when recompute costs more — it does: two full passes otherwise)
-    rows = shingle_rows(docs, id_col, text_col, extra_cols=block_cols).localCheckpoint(
-        eager=True
-    )
-    vocab = rows.select("shingle").distinct()
-    n_vocab = vocab.count()
-    from pyspark.sql import Window as _W
-
-    vidx = vocab.withColumn(
-        "_idx", (F.row_number().over(_W.orderBy("shingle")) - 1).cast("int")
-    )
-    # collect_set both dedups per-doc shingle instances and aggregates in
-    # one shuffle (vs dropDuplicates + collect_list = two)
+    rows = shingle_rows(docs, id_col, text_col, extra_cols=block_cols)
     grouped = (
-        rows.join(F.broadcast(vidx), "shingle")
-        .groupBy(F.col(id_col), *[F.col(c) for c in block_cols])
-        .agg(F.collect_set("_idx").alias("_idxs"))
+        rows.groupBy(F.col(id_col), *[F.col(c) for c in block_cols])
+        .agg(F.collect_set("shingle").alias("_shs"))
+        .localCheckpoint(eager=True)
     )
+    n_vocab = grouped.select(F.explode("_shs").alias("s")).distinct().count()
     return grouped, n_vocab
 
 
@@ -525,7 +514,9 @@ def ngram_jaccard_dense(
     block-cols group; every unordered block pair (t1 <= t2) is one
     applyInPandas task, so the quadratic work spreads over
     n_blocks*(n_blocks+1)/2 tasks per group and no task holds more than
-    two blocks' vectors (guide §2.5/§4.2). The general (large-vocab)
+    two blocks' vectors (guide §2.5/§4.2). Each task builds its own
+    local string→index map (``n_vocab`` is only the caller's dispatch
+    guard; the per-task dimension is ≤ it). The general (large-vocab)
     path remains ngram_jaccard_neardups' AllPairs/PPJoin prefix join.
     """
     import pandas as pd
@@ -547,7 +538,7 @@ def ngram_jaccard_dense(
         grouped.withColumn("_b", b)
         .withColumn("_t", F.explode(tasks))
         .select(
-            F.col(id_col), *[F.col(c) for c in block_cols], "_idxs", "_b",
+            F.col(id_col), *[F.col(c) for c in block_cols], "_shs", "_b",
             F.col("_t.t1").alias("_t1"), F.col("_t.t2").alias("_t2"),
         )
     )
@@ -564,27 +555,40 @@ def ngram_jaccard_dense(
         t1 = int(pdf["_t1"].iloc[0])
         t2 = int(pdf["_t2"].iloc[0])
 
-        def build(sub: pd.DataFrame):
-            ids = sub[id_col].to_numpy()
-            n = len(sub)
-            V = np.zeros((n, n_vocab), dtype=np.float32)
+        # one LOCAL string->index map shared by both sides of this task:
+        # intersections are exact on the strings, and the local dimension
+        # never exceeds the task's own distinct-shingle count
+        vocab: dict = {}
+        idx_lists = []
+        for shs in pdf["_shs"]:
+            ix = np.empty(len(shs), dtype=np.int64)
+            for t, s in enumerate(shs):
+                ix[t] = vocab.setdefault(s, len(vocab))
+            idx_lists.append(ix)
+        dim = len(vocab)
+
+        def build(mask):
+            sub_ids = pdf[id_col].to_numpy()[mask]
+            sub_ix = [ix for ix, m in zip(idx_lists, mask) if m]
+            n = len(sub_ids)
+            V = np.zeros((n, dim), dtype=np.float32)
             sizes = np.empty(n, dtype=np.int64)
-            for r, idxs in enumerate(sub["_idxs"]):
-                ix = np.asarray(idxs, dtype=np.int64)
+            for r, ix in enumerate(sub_ix):
                 V[r, ix] = 1.0
                 sizes[r] = len(ix)
-            return ids, V, sizes
+            return sub_ids, V, sizes
 
         if t1 == t2:
-            ids, V, sz = build(pdf)
+            all_mask = np.ones(len(pdf), dtype=bool)
+            ids, V, sz = build(all_mask)
             ids_b, VB, sz_b = ids, V, sz
         else:
-            a_side = pdf[pdf["_b"] == t1]
-            b_side = pdf[pdf["_b"] == t2]
-            if len(a_side) == 0 or len(b_side) == 0:
+            bcol = pdf["_b"].to_numpy()
+            a_mask, b_mask = bcol == t1, bcol == t2
+            if not a_mask.any() or not b_mask.any():
                 return empty
-            ids, V, sz = build(a_side)
-            ids_b, VB, sz_b = build(b_side)
+            ids, V, sz = build(a_mask)
+            ids_b, VB, sz_b = build(b_mask)
         out_a, out_b, out_i, out_u = [], [], [], []
         nB = len(ids_b)
         tile = max(1, 16_000_000 // max(nB, 1))

@@ -779,9 +779,14 @@ def _shared_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     df = _PAIR_STAGE_CACHE.get(key)
     if df is None:
+        # lazy checkpoint (r8): eager ran the band join + distinct once to
+        # materialize and the first consumer's action paid a cache read on
+        # top; lazy folds the materialization into that first action (the
+        # caller's count/collect), saving one full evaluation. Sharing and
+        # lineage truncation are unchanged.
         df = minhash_lsh_pairs(
             T(spark, sf, "documents"), sigs=_shared_minhash_sigs(spark, sf)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         _PAIR_STAGE_CACHE[key] = df
     return df
 
