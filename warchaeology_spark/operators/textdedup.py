@@ -667,40 +667,47 @@ def dedup_clusters(
         .withColumn("lbl", F.col("v"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # neighbour min: edges (s,d) x labels(d) -> candidate label for s
+    def _propagate(lbls: DataFrame) -> DataFrame:
+        """One min-label step + one pointer jump; (v, lbl), lazily built.
+
+        Pointer jump (r8): lbl <- min(lbl, lbl(lbl)). Label values are
+        vertex ids, so composing the mapping with itself halves the
+        remaining label-chain length every step — convergence becomes
+        O(log diameter) instead of O(diameter), which is what makes
+        sparse spanning inputs (band_star_edges, long chains) as cheap
+        to cluster as dense ones. The fixpoint is unchanged (min label
+        per component), so results are identical."""
         nbr_min = (
-            edges.join(labels.withColumnRenamed("v", "d"), "d")
+            edges.join(lbls.withColumnRenamed("v", "d"), "d")
             .groupBy("s")
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("s", "v")
         )
-        cand = labels.join(nbr_min, "v", "left").select(
+        cand = lbls.join(nbr_min, "v", "left").select(
             "v",
-            F.col("lbl").alias("old_lbl"),
             F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
                 "lbl"
             ),
         )
-        # pointer jump (r8): lbl <- min(lbl, lbl(lbl)). Label values are
-        # vertex ids, so composing the mapping with itself halves the
-        # remaining label-chain length every round — convergence becomes
-        # O(log diameter) instead of O(diameter), which is what makes
-        # sparse spanning inputs (band_star_edges, long chains) as cheap
-        # to cluster as dense ones. The fixpoint is unchanged (min label
-        # per component), so results are identical.
         jump = cand.select(F.col("v").alias("lbl"), F.col("lbl").alias("_l2"))
+        return cand.join(jump, "lbl", "left").select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias("lbl"),
+        )
+
+    for _ in range(max_iter):
+        # two propagate+jump steps per materialized round (r8): the
+        # checkpoint + convergence count are the per-round fixed cost, so
+        # batching two (cheap, label-table-sized) steps between them
+        # halves the number of driver round trips. Labels only ever
+        # decrease, so "changed this round" == final < initial, and an
+        # extra no-op step after convergence is harmless.
+        stepped = _propagate(_propagate(labels))
         new_labels = (
-            cand.join(jump, "lbl", "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-                "old_lbl",
-            )
-            .withColumn("changed", F.col("lbl") < F.col("old_lbl"))
-            .drop("old_lbl")
+            labels.withColumnRenamed("lbl", "_lbl0")
+            .join(stepped, "v")
+            .withColumn("changed", F.col("lbl") < F.col("_lbl0"))
+            .drop("_lbl0")
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("changed").limit(1).count()
